@@ -1,0 +1,134 @@
+"""Banded separable exact EDT — the TPU-native reformulation of the
+reference's Felzenszwalb–Huttenlocher transform (openmp/df.c:29-136).
+
+Why not a port: the FH lower-envelope scan is sequential with data-dependent
+stack pops (df.c:57-79) — hostile to the 8x128 VPU. But the reference's
+*output* is clamped to [-spread, +spread] by the byte remap
+(openmp/sdfgen.c:75-96), so only distances <= spread+1 are observable.
+That admits a fully data-parallel exact formulation:
+
+  pass 1 (rows, binary seeds): d1(x) = distance to nearest seed in the row
+      — two cumulative-max scans (forward/backward), O(n) work, exact.
+  pass 2 (columns, banded):    D(y,x) = min_{|dy|<=B} dy^2 + d1^2(y+dy, x)
+      — a (2B+1)-tap min-plus stencil, O(n^2 B) vectorized work.
+
+For any pixel whose true distance d <= B the result is exactly d^2 (the
+winning seed's |dy| <= d <= B); for anything farther the result provably
+saturates above B^2, which the remap clamps to the same byte as the
+reference's unbounded value. With B = spread + 2 (SdfConfig.effective_band)
+the output bytes are identical to the OpenMP binary's.
+
+All values are small exact integers in float32 (<= (B+1)^2 + B^2 << 2^24),
+so min/add order cannot change results — safe for any XLA/Pallas schedule.
+The hot pass-2 stencil has a Pallas kernel in pallas_edt.py; this module is
+the portable XLA reference implementation and the autodiff-friendly path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def big_sentinel(band: int) -> float:
+    """Finite stand-in for +inf: guaranteed to stay above band^2 through
+    pass 2 and to clamp identically to the reference's INFINITY
+    (openmp/sdfgen.c:70) after the byte remap."""
+    return float((band + 1) ** 2)
+
+
+def row_nearest_sq(seeds: jnp.ndarray, band: int) -> jnp.ndarray:
+    """Pass 1: per-row squared distance to the nearest seed along the last
+    axis. seeds: (..., H, W) bool. Returns float32 (..., H, W), clipped at
+    big_sentinel(band) (rows with no seed, or seeds farther than the band,
+    saturate — they cannot win a within-band minimum).
+
+    Equivalent to the FH row pass (df.c:130, do_sqrt=false) on a {0, inf}
+    indicator: for binary heights the lower envelope's value at q is simply
+    (q - nearest_seed)^2. Two cummax scans replace the sequential envelope.
+    """
+    w = seeds.shape[-1]
+    big = jnp.float32(big_sentinel(band))
+    idx = lax.broadcasted_iota(jnp.int32, seeds.shape, seeds.ndim - 1)
+    none = jnp.int32(-(1 << 30))
+    # forward: index of the nearest seed at or before q
+    fwd = lax.cummax(jnp.where(seeds, idx, none), axis=seeds.ndim - 1)
+    dl = idx - fwd  # huge when no seed yet
+    # backward: index of the nearest seed at or after q (via negated cummax)
+    bwd = lax.cummax(jnp.where(seeds, -idx, none), axis=seeds.ndim - 1, reverse=True)
+    dr = idx + bwd  # = idx - next_seed_idx <= 0 negated below
+    dr = -dr
+    d = jnp.minimum(dl, dr)
+    d = jnp.minimum(d, jnp.int32(band + 1))  # clip before squaring: exact in f32
+    d2 = (d * d).astype(jnp.float32)
+    return jnp.minimum(d2, big)
+
+
+def band_min_columns(g: jnp.ndarray, band: int) -> jnp.ndarray:
+    """Pass 2: D(y, x) = min_{|dy| <= band} dy^2 + g(y+dy, x) along the
+    second-to-last axis. g: (..., H, W) float32. Out-of-image taps read the
+    big sentinel (non-periodic boundary).
+
+    This is the banded lower-envelope evaluation (df.c:82-96) as a min-plus
+    stencil: an unrolled chain of (2*band+1) shifted adds and mins that XLA
+    fuses into a single pass over the data. The Pallas kernel in
+    pallas_edt.py implements the same contraction VMEM-resident.
+    """
+    h = g.shape[-2]
+    big = jnp.float32(big_sentinel(band))
+    pad = [(0, 0)] * (g.ndim - 2) + [(band, band), (0, 0)]
+    gp = jnp.pad(g, pad, constant_values=big)
+    axis = g.ndim - 2
+
+    def step(acc, k):
+        dy = (k - band).astype(jnp.float32)
+        tap = lax.dynamic_slice_in_dim(gp, k, h, axis=axis) + dy * dy
+        return jnp.minimum(acc, tap), None
+
+    # scan keeps the compiled program size O(1) in band; the TPU perf path
+    # is the Pallas kernel (pallas_edt.py), not this loop.
+    acc0 = jnp.full_like(g, big + jnp.float32(band * band))
+    acc, _ = lax.scan(step, acc0, jnp.arange(2 * band + 1, dtype=jnp.int32))
+    return acc
+
+
+def edt_sq_banded(seeds: jnp.ndarray, band: int) -> jnp.ndarray:
+    """Exact squared EDT of a binary seed set, valid (exact) wherever the
+    true distance <= band; saturates > band^2 elsewhere. (..., H, W) bool ->
+    float32."""
+    return band_min_columns(row_nearest_sq(seeds, band), band)
+
+
+def edt_banded(seeds: jnp.ndarray, band: int) -> jnp.ndarray:
+    """sqrt of edt_sq_banded — matches the reference's pass-2 sqrtf
+    (df.c:95, do_sqrt=true). XLA's sqrt is not correctly rounded on all
+    backends; numerics.refined_sqrt recovers the IEEE result for our
+    exact-integer radicands.
+
+    Reference quirk reproduced: dist_transform_1d returns single-cell rows
+    untouched (df.c:32-36), so for single-row images the second pass never
+    applies sqrt — the 'distance' stays squared. Same for 1x1.
+    """
+    from chaq_sdfgen_tpu.ops.numerics import refined_sqrt
+
+    sq = edt_sq_banded(seeds, band)
+    if seeds.shape[-2] <= 1:
+        return sq
+    return refined_sqrt(sq)
+
+
+def dual_edt_banded(b: jnp.ndarray, band: int):
+    """The reference computes two fields concurrently (omp sections,
+    openmp/sdfgen.c:277-289): distance to the inside set (seeds = b) and to
+    the outside set (seeds = ~b). Pass-1 scans share the iota/cummax
+    structure; XLA schedules both fields in one fused program — the TPU
+    equivalent of the 2-way task parallelism.
+
+    Returns (inside_dist, outside_dist) float32, already sqrt'ed.
+    """
+    d_in = edt_banded(b, band)
+    d_out = edt_banded(jnp.logical_not(b), band)
+    return d_in, d_out

@@ -15,8 +15,14 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
 import numpy as np
 import pytest
+
+# Persistent compilation cache: XLA-CPU compiles of the scan-based pipelines
+# dominate test wall time; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture(scope="session")

@@ -1,28 +1,39 @@
-"""Test configuration: force an 8-device virtual CPU platform.
+"""Test configuration: force a virtual 8-device CPU platform.
 
 Multi-chip sharding logic (shard_map + halo exchange) is validated on a
 virtual 8-device CPU mesh, per SURVEY.md §4. Pallas kernels run in
 interpreter mode on CPU (selected automatically inside the ops).
+
+Note: pytest plugin autoload (jaxtyping) imports jax before this conftest
+runs, so JAX_PLATFORMS env would be ignored; jax.config still works because
+no backend has been initialized yet. The environment pins
+JAX_PLATFORMS=axon for the real chip — set CHAQ_TPU_TESTS=1 to run the
+suite against it instead of CPU.
 """
 
 import os
-
-# Must be set before jax is imported by any test module.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import jax
 import numpy as np
 import pytest
 
-# Persistent compilation cache: XLA-CPU compiles of the scan-based pipelines
-# dominate test wall time; cache them across runs.
+if not os.environ.get("CHAQ_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compilation cache across runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    session.config._exitstatus = int(exitstatus)
+
+
+def pytest_unconfigure(config):
+    # The axon TPU plugin hangs for ~50s in interpreter teardown; skip
+    # teardown once all reporting is done.
+    os._exit(getattr(config, "_exitstatus", 0))
 
 
 @pytest.fixture(scope="session")
@@ -37,7 +48,3 @@ def sample_golden():
     from PIL import Image
 
     return np.asarray(Image.open("/root/reference/image/sample_output.png"))
-
-
-def random_bool_grid(rng, h, w, p=0.5):
-    return rng.random((h, w)) < p

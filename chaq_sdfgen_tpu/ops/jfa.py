@@ -1,0 +1,99 @@
+"""Jump-flood (JFA) nearest-seed propagation — the scale-out algorithm.
+
+No reference analogue (SURVEY.md §7 item 5; BASELINE config 3): the
+reference's exact EDT is O(n^2) sequential-per-row and the OpenCL search is
+O(n^2 s^2); JFA gives O(n^2 log n) fully-parallel work with unclamped
+full-range distances, and its per-pass 9-tap stencil shards cleanly across
+a device mesh (halo = stride rows, see parallel/).
+
+State per pixel: nearest-seed coordinates (sy, sx) + validity. Each pass
+with stride k pulls candidates from the 8 neighbours at offset ±k and keeps
+the closest. Strides halve from the next power of two down to 1; the
+optional extra stride-1 prepass ("1+JFA", Rong & Tan 2007) removes most of
+plain JFA's rare misses. JFA can still overestimate on adversarial
+patterns; hard-parity paths use ops/edt.py instead.
+
+All arithmetic is int32 (exact); distances convert to float only at the end
+via the correctly-rounded refined_sqrt.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from chaq_sdfgen_tpu.ops.numerics import refined_sqrt
+
+_INVALID_D2 = jnp.int32(1 << 30)
+
+
+def _shift2d(arr: jnp.ndarray, dy: int, dx: int, fill):
+    """Shift a (..., H, W) array so out[y, x] = arr[y+dy, x+dx], filling
+    out-of-range with ``fill``. Static offsets -> pad+slice, fuses on TPU."""
+    nd = arr.ndim
+    pad = [(0, 0)] * nd
+    pad[nd - 2] = (max(-dy, 0), max(dy, 0))
+    pad[nd - 1] = (max(-dx, 0), max(dx, 0))
+    p = jnp.pad(arr, pad, constant_values=fill)
+    sl = [slice(None)] * nd
+    sl[nd - 2] = slice(max(dy, 0), max(dy, 0) + arr.shape[nd - 2])
+    sl[nd - 1] = slice(max(dx, 0), max(dx, 0) + arr.shape[nd - 1])
+    return p[tuple(sl)]
+
+
+def _strides(h: int, w: int, plus_one: bool):
+    n = max(h, w)
+    k = 1
+    while k < n:
+        k <<= 1
+    k >>= 1
+    out = [1] if (plus_one and n > 1) else []
+    while k >= 1:
+        out.append(k)
+        k >>= 1
+    return out or [1]
+
+
+def jfa_seed_coords(seeds: jnp.ndarray, plus_one: bool = True):
+    """seeds: (..., H, W) bool. Returns (sy, sx, d2, valid): per-pixel
+    nearest-seed coordinates (int32), squared distance (int32, _INVALID_D2
+    where no seed was found), and validity mask."""
+    shape = seeds.shape
+    nd = seeds.ndim
+    h, w = shape[-2], shape[-1]
+    yy = lax.broadcasted_iota(jnp.int32, shape, nd - 2)
+    xx = lax.broadcasted_iota(jnp.int32, shape, nd - 1)
+
+    sy = jnp.where(seeds, yy, jnp.int32(0))
+    sx = jnp.where(seeds, xx, jnp.int32(0))
+    valid = seeds
+    d2 = jnp.where(seeds, jnp.int32(0), _INVALID_D2)
+
+    for k in _strides(h, w, plus_one):
+        for dy in (-k, 0, k):
+            for dx in (-k, 0, k):
+                if dy == 0 and dx == 0:
+                    continue
+                csy = _shift2d(sy, dy, dx, 0)
+                csx = _shift2d(sx, dy, dx, 0)
+                cva = _shift2d(valid, dy, dx, False)
+                cd2 = (yy - csy) ** 2 + (xx - csx) ** 2
+                cd2 = jnp.where(cva, cd2, _INVALID_D2)
+                take = cd2 < d2
+                sy = jnp.where(take, csy, sy)
+                sx = jnp.where(take, csx, sx)
+                valid = jnp.logical_or(valid, cva)
+                d2 = jnp.minimum(d2, cd2)
+    return sy, sx, d2, valid
+
+
+@functools.partial(jax.jit, static_argnames=("plus_one",))
+def jfa_distance(seeds: jnp.ndarray, plus_one: bool = True) -> jnp.ndarray:
+    """Full-range distance-to-nearest-seed field (float32). Pixels with no
+    reachable seed read sqrt(2^30) = 32768.0 — far above any byte clamp,
+    matching the reference's INFINITY behaviour after the remap."""
+    _, _, d2, _ = jfa_seed_coords(seeds, plus_one=plus_one)
+    return refined_sqrt(d2.astype(jnp.float32))

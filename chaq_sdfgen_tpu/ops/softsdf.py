@@ -1,0 +1,149 @@
+"""Differentiable (soft) SDF path — no reference analogue (BASELINE
+config 4): pixel gradients flow from the output SDF back to input
+intensities.
+
+Construction (mirrors the hard pipeline structurally):
+  occupancy   o = sigmoid((v - 127.5)/tau)          (soft threshold)
+  heights     h_in = -T log o,  h_out = -T log(1-o) (soft indicator)
+  soft-min    D = -T log sum exp(-(dx^2+dy^2+h)/T)  (soft parabola envelope)
+  distance    d = sqrt(relu(D) + eps)
+  merge       s = d_out - relu(d_in - 1)            (the -1 bias, soft)
+
+The 2-D soft-min separates exactly into two 1-D banded passes because
+logsumexp distributes over the additive decomposition dx^2 + dy^2 + h —
+the same two-pass structure as the hard EDT (and as blockwise softmax in
+flash attention, which is also how it shards: the streaming (max, sumexp)
+state merges associatively across tiles).
+
+band_softmin carries a custom VJP: the backward pass recomputes the
+softmax weights from the saved output instead of storing per-tap
+residuals, keeping memory O(n^2) instead of O(n^2 * band).
+As (tau, T) -> 0 the whole pipeline converges to the hard EXACT path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from chaq_sdfgen_tpu.ops import threshold
+from chaq_sdfgen_tpu.ops.edt import big_sentinel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def band_softmin(g: jnp.ndarray, band: int, temperature: float, axis: int = -2) -> jnp.ndarray:
+    """S(p) = -T log sum_{|d| <= band} exp(-(d^2 + g(p+d))/T) along ``axis``.
+
+    Streaming (max, sumexp) accumulation over taps — numerically stable for
+    any T. Out-of-range taps contribute exp(-inf) = 0.
+    """
+    return _band_softmin_fwd_impl(g, band, temperature, axis)
+
+
+def _band_softmin_fwd_impl(g, band, temperature, axis):
+    axis = axis % g.ndim
+    h = g.shape[axis]
+    t = jnp.float32(temperature)
+    neg_huge = jnp.float32(-3e38)
+    pad = [(0, 0)] * g.ndim
+    pad[axis] = (band, band)
+    # pad value: +big heights -> z = -(d^2+big)/T very negative; use a large
+    # finite height so exp underflows to exactly 0.
+    gp = jnp.pad(g, pad, constant_values=jnp.float32(1e30))
+
+    def step(carry, k):
+        m, s = carry
+        dy = (k - band).astype(jnp.float32)
+        tap = lax.dynamic_slice_in_dim(gp, k, h, axis=axis)
+        z = -(dy * dy + tap) / t
+        m2 = jnp.maximum(m, z)
+        # rescale previous sum; exp(neg_huge - m2) == 0 handles the init
+        s2 = s * jnp.exp(m - m2) + jnp.exp(z - m2)
+        return (m2, s2), None
+
+    m0 = jnp.full_like(g, neg_huge)
+    s0 = jnp.zeros_like(g)
+    (m, s), _ = lax.scan(step, (m0, s0), jnp.arange(2 * band + 1, dtype=jnp.int32))
+    return -t * (m + jnp.log(jnp.maximum(s, jnp.float32(1e-38))))
+
+
+def _band_softmin_fwd(g, band, temperature, axis):
+    out = _band_softmin_fwd_impl(g, band, temperature, axis)
+    return out, (g, out)
+
+
+def _band_softmin_bwd(band, temperature, axis, res, ct):
+    g, out = res
+    axis = axis % g.ndim
+    h = g.shape[axis]
+    t = jnp.float32(temperature)
+    pad = [(0, 0)] * g.ndim
+    pad[axis] = (band, band)
+    # dL/dg[p] = sum_{|d|<=band} exp((S[p+d] - d^2 - g[p])/T) * ct[p+d]
+    outp = jnp.pad(out, pad, constant_values=jnp.float32(-1e30))
+    ctp = jnp.pad(ct, pad, constant_values=jnp.float32(0.0))
+
+    def step(acc, k):
+        dy = (k - band).astype(jnp.float32)
+        s_tap = lax.dynamic_slice_in_dim(outp, k, h, axis=axis)
+        c_tap = lax.dynamic_slice_in_dim(ctp, k, h, axis=axis)
+        w = jnp.exp((s_tap - dy * dy - g) / t)
+        return acc + w * c_tap, None
+
+    acc0 = jnp.zeros_like(g)
+    acc, _ = lax.scan(step, acc0, jnp.arange(2 * band + 1, dtype=jnp.int32))
+    return (acc,)
+
+
+band_softmin.defvjp(_band_softmin_fwd, _band_softmin_bwd)
+
+
+def soft_edt_sq(heights: jnp.ndarray, band: int, temperature: float) -> jnp.ndarray:
+    """Two-pass separable soft squared-EDT of a height field (..., H, W)."""
+    s1 = band_softmin(heights, band, temperature, axis=-1)
+    return band_softmin(s1, band, temperature, axis=-2)
+
+
+def soft_sdf_field(
+    gray: jnp.ndarray,
+    spread: int,
+    tau: float = 1.0,
+    temperature: float = 0.5,
+    eps: float = 1e-6,
+    test_above: bool = True,
+    band: int | None = None,
+) -> jnp.ndarray:
+    """Signed soft distance field (float32) from raw gray values (..., H, W).
+
+    Converges to the hard EXACT pipeline's pre-remap signed values as
+    (tau, temperature) -> 0.
+    """
+    band = band if band is not None else spread + 2
+    big = big_sentinel(band)
+    logits = threshold.soft_logits(gray, tau=tau, test_above=test_above)
+    h_in = threshold.soft_log_indicator_from_logits(logits, temperature, True, big)
+    h_out = threshold.soft_log_indicator_from_logits(logits, temperature, False, big)
+    d2_in = soft_edt_sq(h_in, band, temperature)
+    d2_out = soft_edt_sq(h_out, band, temperature)
+    e = jnp.float32(eps)
+    d_in = jnp.sqrt(jnp.maximum(d2_in, 0) + e)
+    d_out = jnp.sqrt(jnp.maximum(d2_out, 0) + e)
+    return d_out - jnp.maximum(d_in - jnp.float32(1.0), jnp.float32(0.0))
+
+
+def soft_sdf_bytes(
+    gray: jnp.ndarray,
+    spread: int,
+    asymmetric: bool = False,
+    clamp: str = "tanh",
+    **kw,
+) -> jnp.ndarray:
+    """Differentiable remapped output in [0, 255] float32 (the soft analogue
+    of the reference's byte image)."""
+    from chaq_sdfgen_tpu.ops.merge import soft_remap
+
+    s = soft_sdf_field(gray, spread, **kw)
+    return soft_remap(s, spread, asymmetric, clamp=clamp)

@@ -42,9 +42,21 @@ def indicator(b: jnp.ndarray, true_is_zero: bool, big: float) -> jnp.ndarray:
     return jnp.where(b == true_is_zero, jnp.float32(0.0), jnp.float32(big))
 
 
-def soft_log_indicator(occ: jnp.ndarray, temperature: float, seeds_are_on: bool, big: float) -> jnp.ndarray:
-    """Soft parabola heights: h = -T * log(o) (or log(1-o) for the
-    complement set), clipped at ``big``. Recovers indicator() as o -> {0,1}."""
-    o = occ if seeds_are_on else (jnp.float32(1.0) - occ)
-    h = -jnp.float32(temperature) * jnp.log(jnp.maximum(o, jnp.float32(1e-30)))
+def soft_logits(gray: jnp.ndarray, tau: float = 1.0, test_above: bool = True) -> jnp.ndarray:
+    """Threshold logits l = (v - 127.5)/tau; occupancy = sigmoid(l)."""
+    v = gray.astype(jnp.float32)
+    logits = (v - jnp.float32(127.5)) / jnp.float32(tau)
+    return logits if test_above else -logits
+
+
+def soft_log_indicator_from_logits(
+    logits: jnp.ndarray, temperature: float, seeds_are_on: bool, big: float
+) -> jnp.ndarray:
+    """Soft parabola heights h = -T*log(o) (seeds on) or -T*log(1-o),
+    computed stably from logits: -log(sigmoid(l)) = softplus(-l). This is
+    exact where a sigmoid->log round-trip would underflow and create
+    phantom weak seeds. Clipped at ``big`` = the hard indicator's sentinel,
+    recovering indicator() as tau -> 0."""
+    l = logits if seeds_are_on else -logits
+    h = jnp.float32(temperature) * jax.nn.softplus(-l)
     return jnp.minimum(h, jnp.float32(big))

@@ -77,21 +77,32 @@ def band_min_columns(g: jnp.ndarray, band: int) -> jnp.ndarray:
     fuses into a single pass over the data. The Pallas kernel in
     pallas_edt.py implements the same contraction VMEM-resident.
     """
-    h = g.shape[-2]
     big = jnp.float32(big_sentinel(band))
     pad = [(0, 0)] * (g.ndim - 2) + [(band, band), (0, 0)]
     gp = jnp.pad(g, pad, constant_values=big)
-    axis = g.ndim - 2
+    return band_min_ext(gp, band)
+
+
+def band_min_ext(gext: jnp.ndarray, band: int) -> jnp.ndarray:
+    """band_min_columns on a pre-extended input: gext carries ``band`` extra
+    rows on each side (boundary sentinel rows, or a halo exchanged from
+    neighbouring shards — parallel/halo.py). (..., H+2B, W) -> (..., H, W)."""
+    h = gext.shape[-2] - 2 * band
+    axis = gext.ndim - 2
+
+    def tap(k):
+        dy = (k - band).astype(jnp.float32)
+        return lax.dynamic_slice_in_dim(gext, k, h, axis=axis) + dy * dy
 
     def step(acc, k):
-        dy = (k - band).astype(jnp.float32)
-        tap = lax.dynamic_slice_in_dim(gp, k, h, axis=axis) + dy * dy
-        return jnp.minimum(acc, tap), None
+        return jnp.minimum(acc, tap(k)), None
 
     # scan keeps the compiled program size O(1) in band; the TPU perf path
-    # is the Pallas kernel (pallas_edt.py), not this loop.
-    acc0 = jnp.full_like(g, big + jnp.float32(band * band))
-    acc, _ = lax.scan(step, acc0, jnp.arange(2 * band + 1, dtype=jnp.int32))
+    # is the Pallas kernel (pallas_edt.py, not this loop. Initializing the
+    # carry from tap(0) (not jnp.full) keeps its sharding/varying type
+    # consistent under shard_map.
+    acc0 = tap(jnp.int32(0))
+    acc, _ = lax.scan(step, acc0, jnp.arange(1, 2 * band + 1, dtype=jnp.int32))
     return acc
 
 

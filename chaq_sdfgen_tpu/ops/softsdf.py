@@ -33,72 +33,88 @@ from chaq_sdfgen_tpu.ops import threshold
 from chaq_sdfgen_tpu.ops.edt import big_sentinel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+_PAD_HEIGHT = 1e30  # sentinel height: exp(-(d^2+1e30)/T) underflows to 0
+
+
 def band_softmin(g: jnp.ndarray, band: int, temperature: float, axis: int = -2) -> jnp.ndarray:
     """S(p) = -T log sum_{|d| <= band} exp(-(d^2 + g(p+d))/T) along ``axis``.
 
     Streaming (max, sumexp) accumulation over taps — numerically stable for
     any T. Out-of-range taps contribute exp(-inf) = 0.
     """
-    return _band_softmin_fwd_impl(g, band, temperature, axis)
-
-
-def _band_softmin_fwd_impl(g, band, temperature, axis):
     axis = axis % g.ndim
-    h = g.shape[axis]
-    t = jnp.float32(temperature)
-    neg_huge = jnp.float32(-3e38)
     pad = [(0, 0)] * g.ndim
     pad[axis] = (band, band)
-    # pad value: +big heights -> z = -(d^2+big)/T very negative; use a large
-    # finite height so exp underflows to exactly 0.
-    gp = jnp.pad(g, pad, constant_values=jnp.float32(1e30))
+    gp = jnp.pad(g, pad, constant_values=jnp.float32(_PAD_HEIGHT))
+    return band_softmin_ext(gp, band, temperature, axis)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def band_softmin_ext(gext: jnp.ndarray, band: int, temperature: float, axis: int = -2) -> jnp.ndarray:
+    """band_softmin on a pre-extended input (``band`` extra entries on each
+    side of ``axis`` — boundary sentinels or an exchanged shard halo).
+    Output is 2*band shorter along ``axis`` than the input."""
+    return _band_softmin_fwd_impl(gext, band, temperature, axis)
+
+
+def _band_softmin_fwd_impl(gext, band, temperature, axis):
+    axis = axis % gext.ndim
+    h = gext.shape[axis] - 2 * band
+    t = jnp.float32(temperature)
+    neg_huge = jnp.float32(-3e38)
 
     def step(carry, k):
         m, s = carry
         dy = (k - band).astype(jnp.float32)
-        tap = lax.dynamic_slice_in_dim(gp, k, h, axis=axis)
+        tap = lax.dynamic_slice_in_dim(gext, k, h, axis=axis)
         z = -(dy * dy + tap) / t
         m2 = jnp.maximum(m, z)
         # rescale previous sum; exp(neg_huge - m2) == 0 handles the init
         s2 = s * jnp.exp(m - m2) + jnp.exp(z - m2)
         return (m2, s2), None
 
-    m0 = jnp.full_like(g, neg_huge)
-    s0 = jnp.zeros_like(g)
+    # derive carries from a slice so their sharding/varying type matches
+    # under shard_map (jnp.full would be replicated)
+    zeros = lax.slice_in_dim(gext, band, band + h, axis=axis) * jnp.float32(0.0)
+    m0 = zeros + neg_huge
+    s0 = zeros
     (m, s), _ = lax.scan(step, (m0, s0), jnp.arange(2 * band + 1, dtype=jnp.int32))
     return -t * (m + jnp.log(jnp.maximum(s, jnp.float32(1e-38))))
 
 
-def _band_softmin_fwd(g, band, temperature, axis):
-    out = _band_softmin_fwd_impl(g, band, temperature, axis)
-    return out, (g, out)
+def _band_softmin_ext_fwd(gext, band, temperature, axis):
+    out = _band_softmin_fwd_impl(gext, band, temperature, axis)
+    return out, (gext, out)
 
 
-def _band_softmin_bwd(band, temperature, axis, res, ct):
-    g, out = res
-    axis = axis % g.ndim
-    h = g.shape[axis]
+def _band_softmin_ext_bwd(band, temperature, axis, res, ct):
+    gext, out = res
+    axis = axis % gext.ndim
+    hext = gext.shape[axis]
     t = jnp.float32(temperature)
-    pad = [(0, 0)] * g.ndim
-    pad[axis] = (band, band)
-    # dL/dg[p] = sum_{|d|<=band} exp((S[p+d] - d^2 - g[p])/T) * ct[p+d]
-    outp = jnp.pad(out, pad, constant_values=jnp.float32(-1e30))
+    # dL/dgext[p] = sum_{j=0..2B} w(p-j+B... ) — out index q = p - j with
+    # weight exp((S[q] - (p-q-B... ) : out[q] consumed gext[q+k], k = p-q.
+    # Pad out/ct by 2B on both sides so q = p - k is always in range.
+    pad = [(0, 0)] * gext.ndim
+    pad[axis] = (2 * band, 2 * band)
+    outp = jnp.pad(out, pad, constant_values=jnp.float32(-3e38))
     ctp = jnp.pad(ct, pad, constant_values=jnp.float32(0.0))
 
     def step(acc, k):
+        # out[q] with q = p - k  ->  slice of padded arrays starting at 2B - k
         dy = (k - band).astype(jnp.float32)
-        s_tap = lax.dynamic_slice_in_dim(outp, k, h, axis=axis)
-        c_tap = lax.dynamic_slice_in_dim(ctp, k, h, axis=axis)
-        w = jnp.exp((s_tap - dy * dy - g) / t)
+        start = jnp.int32(2 * band) - k
+        s_tap = lax.dynamic_slice_in_dim(outp, start, hext, axis=axis)
+        c_tap = lax.dynamic_slice_in_dim(ctp, start, hext, axis=axis)
+        w = jnp.exp((s_tap - dy * dy - gext) / t)
         return acc + w * c_tap, None
 
-    acc0 = jnp.zeros_like(g)
+    acc0 = gext * jnp.float32(0.0)
     acc, _ = lax.scan(step, acc0, jnp.arange(2 * band + 1, dtype=jnp.int32))
     return (acc,)
 
 
-band_softmin.defvjp(_band_softmin_fwd, _band_softmin_bwd)
+band_softmin_ext.defvjp(_band_softmin_ext_fwd, _band_softmin_ext_bwd)
 
 
 def soft_edt_sq(heights: jnp.ndarray, band: int, temperature: float) -> jnp.ndarray:

@@ -1,0 +1,112 @@
+"""Sharded SDF pipelines: shard_map over a ('data', 'y') mesh.
+
+Layout (SURVEY.md §5 long-context plan, tier (a)+(b)):
+- rows stay whole per shard -> pass 1 (row scans) is communication-free,
+  exactly like the omp-for row axis (openmp/df.c:113-117);
+- pass 2 (banded column stencil) attaches a band-row halo exchanged over
+  ICI (parallel/halo.py), then runs the same band_min/band_softmin core as
+  the single-chip path — so sharded results are bitwise identical to
+  single-chip results;
+- the batch axis is pure data parallelism (multi-host DCN tier).
+
+Gradients flow through ppermute/shard_map (config 5: grad all-reduce is
+inserted by XLA when the loss contracts over the data axis).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from chaq_sdfgen_tpu.ops import edt, merge, softsdf, threshold
+from chaq_sdfgen_tpu.ops.numerics import refined_sqrt
+from chaq_sdfgen_tpu.parallel.halo import exchange_row_halo
+
+
+def _local_hard_bytes(b_blk, spread, asymmetric, band, y_axis):
+    """Per-shard hard EXACT pipeline with halo'd pass 2."""
+    big = edt.big_sentinel(band)
+
+    def field(seeds):
+        g = edt.row_nearest_sq(seeds, band)
+        gext = exchange_row_halo(g, band, y_axis, big)
+        sq = edt.band_min_ext(gext, band)
+        # (the reference's single-row no-sqrt quirk can't arise here: a
+        # 1-row image is not shardable over 'y' — use the single-chip path)
+        return refined_sqrt(sq)
+
+    d_in = field(b_blk)
+    d_out = field(jnp.logical_not(b_blk))
+    vals = merge.signed_merge(d_out, d_in)
+    return merge.remap_to_byte(vals, spread, asymmetric)
+
+
+def sharded_hard_sdf_bytes(
+    b: jnp.ndarray,
+    spread: int,
+    mesh: Mesh,
+    asymmetric: bool = False,
+    band: Optional[int] = None,
+    y_axis: str = "y",
+    batch_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Hard EXACT pipeline over a mesh. b: bool (H, W) or (N, H, W) with H
+    divisible by the 'y' mesh axis. Bitwise identical to the single-chip
+    path (same cores, same exact-integer arithmetic)."""
+    band = band if band is not None else spread + 2
+    if batch_axis is None:
+        spec = P(y_axis, None)
+    else:
+        spec = P(batch_axis, y_axis, None)
+
+    fn = functools.partial(
+        _local_hard_bytes, spread=spread, asymmetric=asymmetric, band=band, y_axis=y_axis
+    )
+    mapped = jax.shard_map(fn, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    return mapped(b)
+
+
+def sharded_soft_sdf_field(
+    gray: jnp.ndarray,
+    spread: int,
+    mesh: Mesh,
+    tau: float = 1.0,
+    temperature: float = 0.5,
+    eps: float = 1e-6,
+    band: Optional[int] = None,
+    y_axis: str = "y",
+    batch_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Sharded differentiable soft SDF (parallel analogue of
+    ops.softsdf.soft_sdf_field). Pass 1 local; pass 2 halo'd; fully
+    differentiable (ppermute has a transpose rule)."""
+    band = band if band is not None else spread + 2
+    big = edt.big_sentinel(band)
+    if batch_axis is None:
+        spec = P(y_axis, None)
+    else:
+        spec = P(batch_axis, y_axis, None)
+
+    def local(gray_blk):
+        logits = threshold.soft_logits(gray_blk, tau=tau)
+        h_in = threshold.soft_log_indicator_from_logits(logits, temperature, True, big)
+        h_out = threshold.soft_log_indicator_from_logits(logits, temperature, False, big)
+
+        def field(hh):
+            s1 = softsdf.band_softmin(hh, band, temperature, axis=-1)
+            s1ext = exchange_row_halo(s1, band, y_axis, softsdf._PAD_HEIGHT)
+            return softsdf.band_softmin_ext(s1ext, band, temperature, axis=-2)
+
+        d2_in = field(h_in)
+        d2_out = field(h_out)
+        e = jnp.float32(eps)
+        d_in = jnp.sqrt(jnp.maximum(d2_in, 0) + e)
+        d_out = jnp.sqrt(jnp.maximum(d2_out, 0) + e)
+        return d_out - jnp.maximum(d_in - jnp.float32(1.0), jnp.float32(0.0))
+
+    mapped = jax.shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    return mapped(gray)

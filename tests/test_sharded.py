@@ -1,0 +1,87 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh: the sharded
+pipelines must be bitwise identical to single-chip, and gradients must flow
+through the halo exchange. (SURVEY.md §4 'multi-chip without a pod')."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from chaq_sdfgen_tpu.models.sdf_model import hard_sdf_exact_from_bool
+from chaq_sdfgen_tpu.ops import softsdf
+from chaq_sdfgen_tpu.parallel import mesh as meshlib
+from chaq_sdfgen_tpu.parallel.sharded import sharded_hard_sdf_bytes, sharded_soft_sdf_field
+
+
+def _mesh1d(n):
+    return meshlib.make_mesh((n,), ("y",))
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_sharded_hard_bitwise_equal(n):
+    rng = np.random.default_rng(n)
+    b = rng.random((64, 40)) < 0.35
+    mesh = _mesh1d(n)
+    got = sharded_hard_sdf_bytes(jnp.asarray(b), 9, mesh)
+    want = hard_sdf_exact_from_bool(jnp.asarray(b), 9, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_hard_band_larger_than_shard():
+    # band (spread+2 = 20) spans several 8-row shards: the multi-hop halo
+    # must gather blocks from beyond the nearest neighbour.
+    rng = np.random.default_rng(0)
+    b = rng.random((64, 32)) < 0.3
+    mesh = _mesh1d(8)
+    got = sharded_hard_sdf_bytes(jnp.asarray(b), 18, mesh)
+    want = hard_sdf_exact_from_bool(jnp.asarray(b), 18, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_hard_batched_2d_mesh():
+    rng = np.random.default_rng(1)
+    b = rng.random((4, 32, 24)) < 0.4
+    mesh = meshlib.make_mesh((2, 4), ("data", "y"))
+    got = sharded_hard_sdf_bytes(jnp.asarray(b), 6, mesh, batch_axis="data")
+    want = hard_sdf_exact_from_bool(jnp.asarray(b), 6, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_soft_matches_single_chip():
+    rng = np.random.default_rng(2)
+    gray = (rng.random((48, 32)) * 255).astype(np.float32)
+    mesh = _mesh1d(4)
+    got = np.asarray(
+        sharded_soft_sdf_field(jnp.asarray(gray), 6, mesh, tau=2.0, temperature=1.0)
+    )
+    want = np.asarray(
+        softsdf.soft_sdf_field(jnp.asarray(gray), 6, tau=2.0, temperature=1.0)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_soft_gradient_flows_across_shards():
+    rng = np.random.default_rng(3)
+    gray = (rng.random((32, 16)) * 255).astype(np.float32)
+    mesh = _mesh1d(4)
+    w = jnp.asarray(rng.standard_normal((32, 16)).astype(np.float32))
+
+    def loss_sharded(g):
+        return jnp.vdot(sharded_soft_sdf_field(g, 5, mesh, tau=2.0, temperature=1.0), w)
+
+    def loss_single(g):
+        return jnp.vdot(softsdf.soft_sdf_field(g, 5, tau=2.0, temperature=1.0), w)
+
+    g1 = np.asarray(jax.grad(loss_sharded)(jnp.asarray(gray)))
+    g2 = np.asarray(jax.grad(loss_single)(jnp.asarray(gray)))
+    assert np.abs(g2).max() > 0
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-6)
+
+
+def test_row_sharding_placement():
+    mesh = meshlib.make_mesh((2, 4), ("data", "y"))
+    sh = meshlib.row_sharding(mesh, batch_axis="data")
+    x = jax.device_put(jnp.zeros((2, 32, 8)), sh)
+    assert x.sharding.spec == P("data", "y", None)

@@ -45,7 +45,8 @@ def test_band_softmin_custom_vjp_matches_autodiff():
         return jnp.vdot(softsdf.band_softmin(x, band, t, axis=-2), ct)
 
     def without_vjp(x):
-        return jnp.vdot(softsdf._band_softmin_fwd_impl(x, band, t, -2), ct)
+        xp = jnp.pad(x, ((band, band), (0, 0)), constant_values=softsdf._PAD_HEIGHT)
+        return jnp.vdot(softsdf._band_softmin_fwd_impl(xp, band, t, -2), ct)
 
     g1 = jax.grad(with_vjp)(g)
     g2 = jax.grad(without_vjp)(g)

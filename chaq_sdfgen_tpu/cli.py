@@ -1,0 +1,133 @@
+"""CLI — the union of both reference binaries' flag sets (reference L5).
+
+Short flags mirror chaq_sdfgen (openmp/sdfgen.c:32-49): -i/-o/-s/-q/-f,
+-a/-l/-n (combinable in the C version; argparse accepts -al etc. via
+standard short-option clustering). Long options mirror
+chaq_sdfgen_opencl (opencl/main.cpp:362-444): --list-devices,
+--log-level, --time, plus TPU-native extensions: --algorithm, --soft-*.
+
+Usage:  python -m chaq_sdfgen_tpu -i in.png -o out.png -s 100 -al
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger("chaq_sdfgen_tpu")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="chaq_sdfgen_tpu",
+        description="TPU-native signed-distance-field generator "
+        "(capabilities of chaquator/chaq-sdfgen, built on JAX/Pallas).",
+    )
+    p.add_argument("-i", "--input", help="input file; '-' reads stdin")
+    p.add_argument("-o", "--output", help="output file; '-' writes stdout")
+    p.add_argument("-s", "--spread", type=int, default=64,
+                   help="spread radius in pixels (default: 64)")
+    p.add_argument("-q", "--quality", type=int, default=100,
+                   help="jpg quality 1-100 (default: 100)")
+    p.add_argument("-f", "--filetype", default=None,
+                   help="force output filetype: png, bmp, tga, jpg "
+                        "(default: deduced from output filename, png fallback)")
+    p.add_argument("-a", "--asymmetric", action="store_true",
+                   help="asymmetric spread (unsigned distance transform)")
+    p.add_argument("-l", "--luminance", action="store_true",
+                   help="test pixels by luminance instead of alpha")
+    p.add_argument("-n", "--invert", action="store_true",
+                   help="invert the threshold test")
+    p.add_argument("--algorithm", choices=["exact", "brute", "jfa"], default="exact",
+                   help="distance core: exact (OpenMP-binary parity), brute "
+                        "(OpenCL-kernel parity), jfa (jump flood)")
+    p.add_argument("--list-devices", action="store_true",
+                   help="list accelerator devices and exit")
+    p.add_argument("--log-level", default="critical",
+                   choices=["trace", "debug", "info", "warn", "err", "critical", "off"],
+                   help="log level (default: critical)")
+    p.add_argument("--time", action="store_true", dest="time_kernel",
+                   help="print kernel timing (like the OpenCL --time flag)")
+    p.add_argument("--no-jit-cache", action="store_true", help=argparse.SUPPRESS)
+    return p
+
+
+_LEVELS = {
+    "trace": logging.DEBUG,
+    "debug": logging.DEBUG,
+    "info": logging.INFO,
+    "warn": logging.WARNING,
+    "err": logging.ERROR,
+    "critical": logging.CRITICAL,
+    "off": logging.CRITICAL + 10,
+}
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=_LEVELS[args.log_level], stream=sys.stderr,
+                        format="[%(levelname)s] %(message)s")
+
+    import jax
+
+    if args.list_devices:
+        for d in jax.devices():
+            print(f"{d.id}: {d.device_kind} ({d.platform})")
+        return 0
+
+    # validation mirrors openmp/sdfgen.c:229-244
+    if not args.quality or args.quality > 100:
+        print("Invalid value given for jpeg quality. Must be between 1-100", file=sys.stderr)
+        return 1
+    if args.spread < 1:
+        print("Invalid value given for spread. Must be a positive integer.", file=sys.stderr)
+        return 1
+    if args.input is None:
+        print("No input file specified.", file=sys.stderr)
+        return 1
+    if args.output is None:
+        print("No output file specified.", file=sys.stderr)
+        return 1
+
+    from chaq_sdfgen_tpu.config import Algorithm, Channel, SdfConfig
+    from chaq_sdfgen_tpu.models.sdf_model import SDFGenerator
+    from chaq_sdfgen_tpu.utils import imageio as iio
+
+    try:
+        img2ch = iio.load_gray_alpha(args.input)
+    except Exception as e:
+        print(f"Input file could not be opened. ({e})", file=sys.stderr)
+        return 1
+    log.info("loaded %s: %dx%d", args.input, img2ch.shape[1], img2ch.shape[0])
+
+    cfg = SdfConfig(
+        spread=args.spread,
+        asymmetric=args.asymmetric,
+        channel=Channel.LUMINANCE if args.luminance else Channel.ALPHA,
+        invert=args.invert,
+        algorithm=Algorithm(args.algorithm),
+    )
+    gen = SDFGenerator(cfg)
+
+    t0 = time.perf_counter()
+    out = np.asarray(jax.block_until_ready(gen.generate(img2ch)))
+    dt = time.perf_counter() - t0
+    if args.time_kernel:
+        print(f"Kernel timing: {dt:.3f} sec", file=sys.stderr)
+    log.info("sdf computed in %.3fs (%s)", dt, cfg.algorithm.value)
+
+    try:
+        iio.write_gray(out, args.output, filetype=args.filetype, quality=args.quality)
+    except ValueError as e:
+        print(f"Invalid filetype specified. ({e})", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -46,30 +46,40 @@ def _refined_sqrt_inline(n):
     return jnp.where(n > 0, s0 + corr, jnp.float32(0.0))
 
 
-def _fused_kernel(gin_ref, gout_ref, out_ref, *, band, h, spread, asymmetric):
-    """gin/gout: (H + 2B, TN) row-distance^2 strips; out: (H, TN) uint8."""
+_ROW_CHUNK = 512  # rows processed per inner step: bounds live temporaries
 
-    def band_min(ref):
-        acc = ref[0:h, :] + jnp.float32(band * band)
+
+def _fused_kernel(gin_ref, gout_ref, out_ref, *, band, h, spread, asymmetric):
+    """gin/gout: (H + 2B, TN) row-distance^2 strips; out: (H, TN) uint8.
+
+    The strip stays VMEM-resident for the whole program; compute walks it
+    in _ROW_CHUNK-row chunks so the ~8 live elementwise temporaries are
+    (chunk, TN)-sized, not (H, TN)-sized (full-height temporaries blow the
+    16 MB scoped-vmem budget at H = 4096)."""
+
+    def band_min(ref, r, rc):
+        acc = ref[r : r + rc, :] + jnp.float32(band * band)
         for k in range(1, 2 * band + 1):
             dy = k - band
-            acc = jnp.minimum(acc, ref[k : k + h, :] + jnp.float32(dy * dy))
+            acc = jnp.minimum(acc, ref[r + k : r + k + rc, :] + jnp.float32(dy * dy))
         return acc
 
-    d_in = _refined_sqrt_inline(band_min(gin_ref))
-    d_out = _refined_sqrt_inline(band_min(gout_ref))
-    # signed merge (openmp/sdfgen.c:98-106) + clamped remap (75-96), exact
-    # float32 op order for byte parity
-    biased = jnp.where(d_in > 0, d_in + jnp.float32(-1.0), d_in)
-    vals = d_out - biased
     s_min = jnp.float32(0.0) if asymmetric else jnp.float32(-float(spread))
     s_max = jnp.float32(float(spread))
-    v = jnp.minimum(vals, s_max)
-    v = jnp.maximum(v, s_min)
-    remap = ((v - s_min) * jnp.float32(255.0)) / (s_max - s_min) + jnp.float32(0.0)
-    # Mosaic has no direct f32->u8 convert; go via i32 (both truncate
-    # toward zero, values are in [0, 255])
-    out_ref[:, :] = remap.astype(jnp.int32).astype(jnp.uint8)
+    for r in range(0, h, _ROW_CHUNK):
+        rc = min(_ROW_CHUNK, h - r)
+        d_in = _refined_sqrt_inline(band_min(gin_ref, r, rc))
+        d_out = _refined_sqrt_inline(band_min(gout_ref, r, rc))
+        # signed merge (openmp/sdfgen.c:98-106) + clamped remap (75-96),
+        # exact float32 op order for byte parity
+        biased = jnp.where(d_in > 0, d_in + jnp.float32(-1.0), d_in)
+        vals = d_out - biased
+        v = jnp.minimum(vals, s_max)
+        v = jnp.maximum(v, s_min)
+        remap = ((v - s_min) * jnp.float32(255.0)) / (s_max - s_min) + jnp.float32(0.0)
+        # Mosaic has no direct f32->u8 convert; go via i32 (both truncate
+        # toward zero, values are in [0, 255])
+        out_ref[r : r + rc, :] = remap.astype(jnp.int32).astype(jnp.uint8)
 
 
 def _pick_tn(h: int, band: int, w: int) -> int:

@@ -49,13 +49,72 @@ def _refined_sqrt_inline(n):
 _ROW_CHUNK = 512  # rows processed per inner step: bounds live temporaries
 
 
-def _fused_kernel(gin_ref, gout_ref, out_ref, *, band, h, spread, asymmetric):
-    """gin/gout: (H + 2B, TN) row-distance^2 strips; out: (H, TN) uint8.
+def _row_pass_kernel(b_ref, din_ref, dout_ref, *, w, band, chunk, w_actual):
+    """Pass 1 in VMEM: per-row distance to nearest seed (and nearest
+    non-seed), both polarities in one kernel. b: (TM, W) uint8 in {0,1};
+    outputs u8 distances clipped at min(band+1, 255).
 
-    The strip stays VMEM-resident for the whole program; compute walks it
-    in _ROW_CHUNK-row chunks so the ~8 live elementwise temporaries are
+    The sequential FH envelope scan (openmp/df.c:57-79) is replaced by a
+    log-jump min-plus propagation along lanes: d = min(d, d<<s + s) for
+    s = 1,2,4,... — every offset decomposes into distinct powers of two,
+    so after log2(W) steps d is the exact 1-D distance. Wrapped lanes from
+    the circular roll are masked to +inf via a lane-index compare."""
+    tm = b_ref.shape[0]
+    steps = []
+    s = 1
+    while s < w:
+        steps.append(s)
+        s <<= 1
+    inf = jnp.int32(1 << 20)
+    clipv = jnp.int32(min(band + 1, 255))
+
+    for r in range(0, tm, chunk):
+        rc = min(chunk, tm - r)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rc, w), 1)
+        # lanes beyond the real image width are NEITHER inside nor outside
+        # seeds (no pixels exist there; cf. the boundary clamps at
+        # opencl/sdf.cl:106-127)
+        valid = lane < jnp.int32(w_actual)
+        seeds = b_ref[r : r + rc, :].astype(jnp.int32)
+
+        def field(seed_mask):
+            seed_mask = jnp.logical_and(seed_mask, valid)
+            # distance to nearest seed on the left / right via log jumps
+            d = jnp.where(seed_mask, jnp.int32(0), inf)
+            dl = d
+            for st in steps:
+                shifted = pltpu.roll(dl, st, 1)  # lane j <- dl[j - st]
+                shifted = jnp.where(lane >= st, shifted, inf)
+                dl = jnp.minimum(dl, shifted + jnp.int32(st))
+            dr = d
+            for st in steps:
+                # circular roll only takes non-negative shifts: w - st == -st
+                shifted = pltpu.roll(dr, w - st, 1)  # lane j <- dr[j + st]
+                shifted = jnp.where(lane < w - st, shifted, inf)
+                dr = jnp.minimum(dr, shifted + jnp.int32(st))
+            return jnp.minimum(jnp.minimum(dl, dr), clipv)
+
+        din_ref[r : r + rc, :] = field(seeds > 0).astype(jnp.uint8)
+        dout_ref[r : r + rc, :] = field(seeds == 0).astype(jnp.uint8)
+
+
+def _fused_kernel(din_ref, dout_ref, out_ref, gin_ref, gout_ref, *, band, h, spread, asymmetric):
+    """din/dout: (H + 2B, TN) uint8 row-distance strips (clipped at
+    band+1); gin/gout: f32 VMEM scratch for the squared strips; out:
+    (H, TN) uint8 final bytes.
+
+    The strips stay VMEM-resident for the whole program; the u8 strips are
+    squared once into f32 scratch, then compute walks the column in
+    _ROW_CHUNK-row chunks so the ~8 live elementwise temporaries are
     (chunk, TN)-sized, not (H, TN)-sized (full-height temporaries blow the
     16 MB scoped-vmem budget at H = 4096)."""
+    hext = din_ref.shape[0]
+    for r in range(0, hext, _ROW_CHUNK):
+        rc = min(_ROW_CHUNK, hext - r)
+        di = din_ref[r : r + rc, :].astype(jnp.int32)
+        do = dout_ref[r : r + rc, :].astype(jnp.int32)
+        gin_ref[r : r + rc, :] = (di * di).astype(jnp.float32)
+        gout_ref[r : r + rc, :] = (do * do).astype(jnp.float32)
 
     def band_min(ref, r, rc):
         acc = ref[r : r + rc, :] + jnp.float32(band * band)
@@ -123,35 +182,61 @@ def fused_sdf_bytes(
         return fn(b)
 
     h, w = b.shape
-    if h <= 1:
-        # reference single-row quirk path (no pass-2 sqrt) — tiny, XLA
+    if h <= 1 or band + 1 > 255:
+        # single-row reference quirk (no pass-2 sqrt), or distances beyond
+        # the u8 intermediate's range: take the XLA path
         from chaq_sdfgen_tpu.ops import merge
 
         d_in, d_out = edt.dual_edt_banded(b, band)
         return merge.remap_to_byte(merge.signed_merge(d_out, d_in), spread, asymmetric)
 
-    big = jnp.float32(edt.big_sentinel(band))
     hp = _round_up(h, 8)
     wp = _round_up(w, 128)
+    b_u8 = jnp.pad(b.astype(jnp.uint8), ((0, hp - h), (0, wp - w)))
 
-    g_in = edt.row_nearest_sq(b, band)
-    g_out = edt.row_nearest_sq(jnp.logical_not(b), band)
-    pad = ((band, band + (hp - h)), (0, wp - w))
-    g_in = jnp.pad(g_in, pad, constant_values=big)
-    g_out = jnp.pad(g_out, pad, constant_values=big)
+    # ---- kernel A: per-row nearest-seed distances, both polarities ----
+    tma = min(hp, 128)
+    hpa = _round_up(hp, tma)
+    if hpa != hp:
+        b_u8 = jnp.pad(b_u8, ((0, hpa - hp), (0, 0)))
+    kern_a = functools.partial(
+        _row_pass_kernel, w=wp, band=band, chunk=32, w_actual=w
+    )
+    din, dout = pl.pallas_call(
+        kern_a,
+        grid=(hpa // tma,),
+        in_specs=[pl.BlockSpec((tma, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((tma, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tma, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hpa, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((hpa, wp), jnp.uint8),
+        ],
+        interpret=interpret,
+    )(b_u8)
 
+    # rows beyond the real image must read as saturated for BOTH fields
+    # (no pixels exist there); the same pad supplies the band halo.
+    sat = 255
+    pad = ((band, band + (hp - h)), (0, 0))
+    din = jnp.pad(din[:h], pad, constant_values=sat)
+    dout = jnp.pad(dout[:h], pad, constant_values=sat)
+
+    # ---- kernel B: banded column min-plus + merge + remap ----
     tn = _pick_tn(hp, band, wp)
     wp2 = _round_up(wp, tn)
     if wp2 != wp:
-        g_in = jnp.pad(g_in, ((0, 0), (0, wp2 - wp)), constant_values=big)
-        g_out = jnp.pad(g_out, ((0, 0), (0, wp2 - wp)), constant_values=big)
+        din = jnp.pad(din, ((0, 0), (0, wp2 - wp)), constant_values=sat)
+        dout = jnp.pad(dout, ((0, 0), (0, wp2 - wp)), constant_values=sat)
         wp = wp2
 
-    kern = functools.partial(
+    kern_b = functools.partial(
         _fused_kernel, band=band, h=hp, spread=spread, asymmetric=asymmetric
     )
     out = pl.pallas_call(
-        kern,
+        kern_b,
         grid=(wp // tn,),
         in_specs=[
             pl.BlockSpec((hp + 2 * band, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
@@ -159,6 +244,10 @@ def fused_sdf_bytes(
         ],
         out_specs=pl.BlockSpec((hp, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((hp + 2 * band, tn), jnp.float32),
+            pltpu.VMEM((hp + 2 * band, tn), jnp.float32),
+        ],
         interpret=interpret,
-    )(g_in, g_out)
+    )(din, dout)
     return out[:h, :w]

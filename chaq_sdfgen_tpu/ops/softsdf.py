@@ -49,11 +49,26 @@ def band_softmin(g: jnp.ndarray, band: int, temperature: float, axis: int = -2) 
     return band_softmin_ext(gp, band, temperature, axis)
 
 
+def _pallas_ok(gext: jnp.ndarray, band: int, axis: int) -> bool:
+    """Use the Pallas strip kernels when on TPU, 2-D, column-direction, and
+    the strip fits the VMEM budget (pallas_soft.py)."""
+    if gext.ndim != 2 or (axis % gext.ndim) != 0:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    hext = gext.shape[0]
+    return (hext * 16 + (hext - 2 * band) * 8) * 128 <= 11 * 1024 * 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def band_softmin_ext(gext: jnp.ndarray, band: int, temperature: float, axis: int = -2) -> jnp.ndarray:
     """band_softmin on a pre-extended input (``band`` extra entries on each
     side of ``axis`` — boundary sentinels or an exchanged shard halo).
     Output is 2*band shorter along ``axis`` than the input."""
+    if _pallas_ok(gext, band, axis):
+        from chaq_sdfgen_tpu.ops import pallas_soft
+
+        return pallas_soft.softmin_col_fwd(gext, band, temperature, interpret=False)
     return _band_softmin_fwd_impl(gext, band, temperature, axis)
 
 
@@ -83,12 +98,16 @@ def _band_softmin_fwd_impl(gext, band, temperature, axis):
 
 
 def _band_softmin_ext_fwd(gext, band, temperature, axis):
-    out = _band_softmin_fwd_impl(gext, band, temperature, axis)
+    out = band_softmin_ext(gext, band, temperature, axis)
     return out, (gext, out)
 
 
 def _band_softmin_ext_bwd(band, temperature, axis, res, ct):
     gext, out = res
+    if _pallas_ok(gext, band, axis):
+        from chaq_sdfgen_tpu.ops import pallas_soft
+
+        return (pallas_soft.softmin_col_bwd(gext, out, ct, band, temperature, interpret=False),)
     axis = axis % gext.ndim
     hext = gext.shape[axis]
     t = jnp.float32(temperature)
@@ -118,8 +137,15 @@ band_softmin_ext.defvjp(_band_softmin_ext_fwd, _band_softmin_ext_bwd)
 
 
 def soft_edt_sq(heights: jnp.ndarray, band: int, temperature: float) -> jnp.ndarray:
-    """Two-pass separable soft squared-EDT of a height field (..., H, W)."""
-    s1 = band_softmin(heights, band, temperature, axis=-1)
+    """Two-pass separable soft squared-EDT of a height field (..., H, W).
+
+    For 2-D inputs the row pass runs as a column pass on the transpose so
+    that, on TPU, both passes hit the Pallas strip kernel (the stencil must
+    slide along sublanes; lane-direction shifts are expensive)."""
+    if heights.ndim == 2:
+        s1 = band_softmin(heights.T, band, temperature, axis=-2).T
+    else:
+        s1 = band_softmin(heights, band, temperature, axis=-1)
     return band_softmin(s1, band, temperature, axis=-2)
 
 

@@ -1,0 +1,107 @@
+"""Headline benchmark — prints ONE JSON line (BASELINE.md targets).
+
+Measures, on the real chip:
+  1. hard EXACT 4Kx4K forward (fused Pallas pipeline, OpenMP-binary
+     byte-parity semantics), spread 64
+  2. soft differentiable 4Kx4K forward+backward (value_and_grad wrt input
+     pixels through the Pallas soft-min kernels), spread 64
+  3. a golden-sample parity guard (the numbers only count if output bytes
+     are exact)
+
+Headline metric (stdout JSON): soft fwd+bwd pixels/s/chip vs the 1 Gpix/s
+BASELINE target. Secondary numbers go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _time_best(fn, iters=5):
+    fn()  # warm
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from sdfref import oracle
+    from chaq_sdfgen_tpu.ops import pallas_edt, softsdf
+
+    err = lambda *a: print(*a, file=sys.stderr, flush=True)
+    err("backend:", jax.default_backend(), jax.devices())
+
+    N = 4096
+    spread = 64
+    rng = np.random.default_rng(0)
+
+    # --- parity guard (golden sample through the fused kernel) ---
+    img = oracle.load_image_gray_alpha("/root/reference/image/sample_input.png")
+    from PIL import Image
+
+    golden = np.asarray(Image.open("/root/reference/image/sample_output.png"))
+    bb = oracle.img_to_bool(img, channel=0)
+    got = np.asarray(pallas_edt.fused_sdf_bytes(jnp.asarray(bb), 100, asymmetric=True))
+    parity_ok = bool((got == golden).all())
+    err("golden parity:", "OK" if parity_ok else "FAIL")
+
+    # --- hard forward ---
+    b4k = jnp.asarray(rng.random((N, N)) < 0.3)
+    hard = jax.jit(lambda x: jnp.sum(pallas_edt.fused_sdf_bytes(x, spread).astype(jnp.int32)))
+    dt_hard = _time_best(lambda: int(hard(b4k)))
+    hard_pps = N * N / dt_hard
+    err(f"hard 4K fwd: {dt_hard*1e3:.2f} ms -> {hard_pps/1e9:.3f} Gpix/s")
+
+    # --- soft forward+backward ---
+    gray = jnp.asarray((rng.random((N, N)) * 255).astype(np.float32))
+
+    def loss(g):
+        return jnp.sum(softsdf.soft_sdf_field(g, spread, tau=2.0, temperature=1.0))
+
+    vg = jax.jit(lambda g: jax.value_and_grad(loss)(g))
+
+    def run_soft():
+        v, gr = vg(gray)
+        return float(v) + float(gr[0, 0])
+
+    dt_soft = _time_best(run_soft, iters=3)
+    soft_pps = N * N / dt_soft
+    err(f"soft 4K fwd+bwd: {dt_soft*1e3:.2f} ms -> {soft_pps/1e9:.3f} Gpix/s")
+
+    value = soft_pps if parity_ok else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "sdf_4k_soft_fwd_bwd_pixels_per_s_per_chip",
+                "value": round(value, 1),
+                "unit": "pixels/s/chip",
+                "vs_baseline": round(value / 1e9, 4),
+                "extra": {
+                    "hard_fwd_pixels_per_s": round(hard_pps, 1),
+                    "golden_parity": parity_ok,
+                    "spread": spread,
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    finally:
+        import os
+
+        os._exit(0)

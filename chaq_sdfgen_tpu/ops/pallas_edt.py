@@ -58,13 +58,15 @@ def _row_pass_kernel(b_ref, din_ref, dout_ref, *, w, band, chunk, w_actual):
     log-jump min-plus propagation along lanes: d = min(d, d<<s + s) for
     s = 1,2,4,... — every offset decomposes into distinct powers of two,
     so after log2(W) steps d is the exact 1-D distance. Wrapped lanes from
-    the circular roll are masked to +inf via a lane-index compare."""
+    the circular roll are masked to +inf via a lane-index compare.
+
+    The jump chains are lax.fori_loop with dynamic shifts on purpose:
+    Mosaic miscompiles kernels containing more than one fully-unrolled
+    roll chain (observed on v5e: the later chains' distances collapse;
+    a single unrolled chain at <=8 sublanes is fine, two chains or 16
+    sublanes are not)."""
     tm = b_ref.shape[0]
-    steps = []
-    s = 1
-    while s < w:
-        steps.append(s)
-        s <<= 1
+    n_steps = max(1, (w - 1).bit_length())
     inf = jnp.int32(1 << 20)
     clipv = jnp.int32(min(band + 1, 255))
 
@@ -81,47 +83,74 @@ def _row_pass_kernel(b_ref, din_ref, dout_ref, *, w, band, chunk, w_actual):
             seed_mask = jnp.logical_and(seed_mask, valid)
             # distance to nearest seed on the left / right via log jumps
             d = jnp.where(seed_mask, jnp.int32(0), inf)
-            dl = d
-            for st in steps:
+
+            def body_l(i, dl):
+                st = jnp.int32(1) << i
                 shifted = pltpu.roll(dl, st, 1)  # lane j <- dl[j - st]
                 shifted = jnp.where(lane >= st, shifted, inf)
-                dl = jnp.minimum(dl, shifted + jnp.int32(st))
-            dr = d
-            for st in steps:
-                # circular roll only takes non-negative shifts: w - st == -st
-                shifted = pltpu.roll(dr, w - st, 1)  # lane j <- dr[j + st]
-                shifted = jnp.where(lane < w - st, shifted, inf)
-                dr = jnp.minimum(dr, shifted + jnp.int32(st))
+                return jnp.minimum(dl, shifted + st)
+
+            def body_r(i, dr):
+                st = jnp.int32(1) << i
+                # circular roll takes non-negative shifts: w - st == -st
+                shifted = pltpu.roll(dr, jnp.int32(w) - st, 1)  # j <- dr[j + st]
+                shifted = jnp.where(lane < jnp.int32(w) - st, shifted, inf)
+                return jnp.minimum(dr, shifted + st)
+
+            dl = jax.lax.fori_loop(0, n_steps, body_l, d)
+            dr = jax.lax.fori_loop(0, n_steps, body_r, d)
             return jnp.minimum(jnp.minimum(dl, dr), clipv)
 
         din_ref[r : r + rc, :] = field(seeds > 0).astype(jnp.uint8)
         dout_ref[r : r + rc, :] = field(seeds == 0).astype(jnp.uint8)
 
 
-def _fused_kernel(din_ref, dout_ref, out_ref, gin_ref, gout_ref, *, band, h, spread, asymmetric):
+def _fused_kernel(din_ref, dout_ref, out_ref, gin_ref, gout_ref, *, band, h, spread, asymmetric, sq_dtype):
     """din/dout: (H + 2B, TN) uint8 row-distance strips (clipped at
-    band+1); gin/gout: f32 VMEM scratch for the squared strips; out:
+    band+1); gin/gout: int16 VMEM scratch for the squared strips; out:
     (H, TN) uint8 final bytes.
 
     The strips stay VMEM-resident for the whole program; the u8 strips are
-    squared once into f32 scratch, then compute walks the column in
+    squared once into i16 scratch, then compute walks the column in
     _ROW_CHUNK-row chunks so the ~8 live elementwise temporaries are
     (chunk, TN)-sized, not (H, TN)-sized (full-height temporaries blow the
-    16 MB scoped-vmem budget at H = 4096)."""
+    16 MB scoped-vmem budget at H = 4096).
+
+    The band contraction folds the symmetric +-dy taps into one add:
+    min(g[q-dy], g[q+dy]) + dy^2 — 3 VPU ops per 2 taps instead of 4.
+    (int16 arithmetic would halve vreg traffic further, but v5e Mosaic
+    cannot legalize vector arith.minsi on i16.)"""
     hext = din_ref.shape[0]
+    clipv = jnp.int32(band + 1)
     for r in range(0, hext, _ROW_CHUNK):
         rc = min(_ROW_CHUNK, hext - r)
-        di = din_ref[r : r + rc, :].astype(jnp.int32)
-        do = dout_ref[r : r + rc, :].astype(jnp.int32)
-        gin_ref[r : r + rc, :] = (di * di).astype(jnp.float32)
-        gout_ref[r : r + rc, :] = (do * do).astype(jnp.float32)
+        # boundary pad rows carry 255; clip to band+1 (the saturation
+        # sentinel) BEFORE squaring or 255^2 overflows the int16 scratch
+        di = jnp.minimum(din_ref[r : r + rc, :].astype(jnp.int32), clipv)
+        do = jnp.minimum(dout_ref[r : r + rc, :].astype(jnp.int32), clipv)
+        gin_ref[r : r + rc, :] = (di * di).astype(sq_dtype)
+        gout_ref[r : r + rc, :] = (do * do).astype(sq_dtype)
 
     def band_min(ref, r, rc):
-        acc = ref[r : r + rc, :] + jnp.float32(band * band)
-        for k in range(1, 2 * band + 1):
-            dy = k - band
-            acc = jnp.minimum(acc, ref[r + k : r + k + rc, :] + jnp.float32(dy * dy))
-        return acc
+        # Four independent accumulators: a single acc chain is
+        # latency-bound on the VPU (measured ~0.27 T-op/s vs ~1 T-op/s
+        # with ILP); round-robin breaks the dependency chain.
+        nacc = 4
+        accs = [None] * nacc
+        accs[0] = ref[r + band : r + band + rc, :]  # center tap dy = 0
+        for dy in range(1, band + 1):
+            pair = jnp.minimum(
+                ref[r + band - dy : r + band - dy + rc, :],
+                ref[r + band + dy : r + band + dy + rc, :],
+            )
+            tap = pair + jnp.asarray(dy * dy, sq_dtype)
+            j = dy % nacc
+            accs[j] = tap if accs[j] is None else jnp.minimum(accs[j], tap)
+        acc = accs[0]
+        for j in range(1, nacc):
+            if accs[j] is not None:
+                acc = jnp.minimum(acc, accs[j])
+        return acc.astype(jnp.float32)
 
     s_min = jnp.float32(0.0) if asymmetric else jnp.float32(-float(spread))
     s_max = jnp.float32(float(spread))
@@ -232,8 +261,10 @@ def fused_sdf_bytes(
         dout = jnp.pad(dout, ((0, 0), (0, wp2 - wp)), constant_values=sat)
         wp = wp2
 
+    sq_dtype = jnp.float32
     kern_b = functools.partial(
-        _fused_kernel, band=band, h=hp, spread=spread, asymmetric=asymmetric
+        _fused_kernel, band=band, h=hp, spread=spread, asymmetric=asymmetric,
+        sq_dtype=sq_dtype,
     )
     out = pl.pallas_call(
         kern_b,
@@ -245,8 +276,8 @@ def fused_sdf_bytes(
         out_specs=pl.BlockSpec((hp, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((hp + 2 * band, tn), jnp.float32),
-            pltpu.VMEM((hp + 2 * band, tn), jnp.float32),
+            pltpu.VMEM((hp + 2 * band, tn), sq_dtype),
+            pltpu.VMEM((hp + 2 * band, tn), sq_dtype),
         ],
         interpret=interpret,
     )(din, dout)

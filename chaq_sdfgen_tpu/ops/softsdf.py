@@ -57,7 +57,8 @@ def _pallas_ok(gext: jnp.ndarray, band: int, axis: int) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     hext = gext.shape[0]
-    return (hext * 16 + (hext - 2 * band) * 8) * 128 <= 11 * 1024 * 1024
+    # fwd kernel VMEM at TN=128: (in + out) double-buffered f32 strips
+    return (hext + (hext - 2 * band)) * 8 * 128 <= 11 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))

@@ -1,0 +1,60 @@
+"""Batched atlas pipeline + distributed helpers (config 5 logic on the
+virtual CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chaq_sdfgen_tpu.config import SdfConfig
+from chaq_sdfgen_tpu.models.atlas import atlas_sdf
+from chaq_sdfgen_tpu.models.sdf_model import hard_sdf_exact
+from chaq_sdfgen_tpu.parallel import mesh as meshlib
+from chaq_sdfgen_tpu.parallel.distributed import check_mesh, global_mesh
+
+
+def _stack(rng, n, h, w):
+    imgs = np.zeros((n, h, w, 2), dtype=np.uint8)
+    imgs[..., 1] = np.where(rng.random((n, h, w)) < 0.4, 255, 0)
+    imgs[..., 0] = 128
+    return imgs
+
+
+def test_atlas_sharded_matches_single_chip():
+    rng = np.random.default_rng(0)
+    imgs = _stack(rng, 4, 32, 24)
+    cfg = SdfConfig(spread=6)
+    mesh = meshlib.make_mesh((2, 4), ("data", "y"))
+    got = np.asarray(atlas_sdf(jnp.asarray(imgs), cfg, mesh))
+    for i in range(4):
+        want = np.asarray(hard_sdf_exact(jnp.asarray(imgs[i]), spread=6, use_pallas=False))
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_atlas_single_chip_batched():
+    rng = np.random.default_rng(1)
+    imgs = _stack(rng, 2, 16, 16)
+    got = np.asarray(atlas_sdf(jnp.asarray(imgs), SdfConfig(spread=4)))
+    assert got.shape == (2, 16, 16)
+
+
+def test_atlas_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        atlas_sdf(jnp.zeros((4, 8, 8)), SdfConfig())
+
+
+def test_check_mesh_errors():
+    mesh = meshlib.make_mesh((2, 4), ("data", "y"))
+    check_mesh(mesh, batch=4, height=32)
+    with pytest.raises(ValueError):
+        check_mesh(mesh, batch=3, height=32)
+    with pytest.raises(ValueError):
+        check_mesh(mesh, batch=4, height=30)
+
+
+def test_global_mesh_single_host():
+    m = global_mesh(y_per_host=4)
+    assert dict(zip(m.axis_names, m.devices.shape)) == {"data": 2, "y": 4}
+    m2 = global_mesh()
+    assert m2.devices.size == len(jax.devices())

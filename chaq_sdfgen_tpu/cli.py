@@ -46,8 +46,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--algorithm", choices=["exact", "brute", "jfa"], default="exact",
                    help="distance core: exact (OpenMP-binary parity), brute "
                         "(OpenCL-kernel parity), jfa (jump flood)")
+    p.add_argument("--list-platforms", action="store_true",
+                   help="list available backends (opencl/main.cpp --list-platforms analogue)")
     p.add_argument("--list-devices", action="store_true",
                    help="list accelerator devices and exit")
+    p.add_argument("--device", default=None,
+                   help="select device by index or kind substring "
+                        "(opencl/main.cpp --device analogue)")
+    p.add_argument("--two-channel", action="store_true",
+                   help="write gray+alpha output like the OpenCL binary "
+                        "(opencl/main.cpp:166-199); default is 1-channel like "
+                        "the OpenMP binary")
     p.add_argument("--log-level", default="critical",
                    choices=["trace", "debug", "info", "warn", "err", "critical", "off"],
                    help="log level (default: critical)")
@@ -75,10 +84,34 @@ def main(argv: Optional[list] = None) -> int:
 
     import jax
 
+    if args.list_platforms:
+        seen = []
+        for d in jax.devices():
+            if d.platform not in seen:
+                seen.append(d.platform)
+        for i, pname in enumerate(seen):
+            print(f"{i}: {pname}")
+        return 0
     if args.list_devices:
         for d in jax.devices():
             print(f"{d.id}: {d.device_kind} ({d.platform})")
         return 0
+
+    device = None
+    if args.device is not None:
+        devs = jax.devices()
+        if args.device.isdigit():
+            idx = int(args.device)
+            if idx >= len(devs):
+                print(f"No device with index {idx}.", file=sys.stderr)
+                return 1
+            device = devs[idx]
+        else:
+            matches = [d for d in devs if args.device.lower() in d.device_kind.lower()]
+            if not matches:
+                print(f"No device matching {args.device!r}.", file=sys.stderr)
+                return 1
+            device = matches[0]
 
     # validation mirrors openmp/sdfgen.c:229-244
     if not args.quality or args.quality > 100:
@@ -114,6 +147,8 @@ def main(argv: Optional[list] = None) -> int:
     )
     gen = SDFGenerator(cfg)
 
+    if device is not None:
+        img2ch = jax.device_put(jax.numpy.asarray(img2ch), device)
     t0 = time.perf_counter()
     out = np.asarray(jax.block_until_ready(gen.generate(img2ch)))
     dt = time.perf_counter() - t0
@@ -122,7 +157,10 @@ def main(argv: Optional[list] = None) -> int:
     log.info("sdf computed in %.3fs (%s)", dt, cfg.algorithm.value)
 
     try:
-        iio.write_gray(out, args.output, filetype=args.filetype, quality=args.quality)
+        if args.two_channel:
+            iio.write_gray_alpha(out, args.output, filetype=args.filetype, quality=args.quality)
+        else:
+            iio.write_gray(out, args.output, filetype=args.filetype, quality=args.quality)
     except ValueError as e:
         print(f"Invalid filetype specified. ({e})", file=sys.stderr)
         return 1

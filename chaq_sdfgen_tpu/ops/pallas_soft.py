@@ -14,6 +14,16 @@ expressed by transposing outside. Two kernels:
         — softmax weights recomputed from the saved output (O(n^2) memory,
         no per-tap residuals), same banded stencil transposed.
 
+Mosaic constraints shape the loops (all observed on v5e):
+- statically re-slicing the same strip rows in two phases lets the
+  compiler CSE phase A's taps and keep all 2B+1 alive (scoped-vmem OOM),
+  so the exp phases run as fori_loops;
+- dynamic sublane starts must be provably 8-aligned, so the fori_loops
+  advance in 8-row groups (one aligned load, eight static sub-slices) —
+  which also amortizes loads 8x;
+- surplus taps from rounding the band up to a multiple of 8 carry a huge
+  dy^2 penalty and contribute exp(-huge) = 0.
+
 Used by ops.softsdf.band_softmin_ext when running on TPU.
 """
 
@@ -27,30 +37,50 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _ROW_CHUNK = 256
+_PAD_H = 1e30  # sentinel height (matches softsdf._PAD_HEIGHT)
+_NEG_HUGE = -3.0e38
 
 
 def _softmin_fwd_kernel(gext_ref, out_ref, *, band, h, temperature):
-    """gext: (H+2B, TN) f32; out: (H, TN) f32."""
+    """gext: (H+2B+8, TN) f32 (8 extra sentinel rows at the bottom);
+    out: (H, TN) f32."""
     inv_t = jnp.float32(1.0 / temperature)
     t = jnp.float32(temperature)
+    n_groups = (2 * band + 1 + 7) // 8
+    tn = out_ref.shape[1]
     for r in range(0, h, _ROW_CHUNK):
         rc = min(_ROW_CHUNK, h - r)
-        m = gext_ref[r : r + rc, :] + jnp.float32(band * band)
-        for k in range(1, 2 * band + 1):
+        # phase A: hard band-min (static unroll; single-use slices)
+        m = gext_ref[r + band : r + band + rc, :] + jnp.float32(band * band)
+        for k in range(2 * band + 1):
+            if k == band:
+                continue
             dy = k - band
             m = jnp.minimum(m, gext_ref[r + k : r + k + rc, :] + jnp.float32(dy * dy))
-        acc = jnp.zeros((rc, out_ref.shape[1]), jnp.float32)
-        for k in range(0, 2 * band + 1):
-            dy = k - band
-            tk = gext_ref[r + k : r + k + rc, :] + jnp.float32(dy * dy)
-            acc = acc + jnp.exp((m - tk) * inv_t)
+
+        # phase B: exp-sum in 8-tap groups (aligned dynamic load)
+        def group(j, acc):
+            base = pl.multiple_of(r + 8 * j, 8)
+            blk = gext_ref[pl.ds(base, rc + 8), :]
+            for i in range(8):
+                k = jnp.float32(8.0) * j.astype(jnp.float32) + jnp.float32(i)
+                dy = k - jnp.float32(band)
+                # surplus taps from the 8-group rounding get +huge penalty
+                pen = jnp.where(k <= jnp.float32(2 * band), dy * dy, jnp.float32(3e38))
+                acc = acc + jnp.exp((m - blk[i : i + rc, :] - pen) * inv_t)
+            return acc
+
+        acc = jax.lax.fori_loop(0, n_groups, group, jnp.zeros((rc, tn), jnp.float32))
         out_ref[r : r + rc, :] = m - t * jnp.log(acc)
 
 
-def _softmin_bwd_kernel(gext_hbm, spad_hbm, ctpad_hbm, dg_ref, gv, sv, cv, sem, *, band, hext, temperature):
+def _softmin_bwd_kernel(gext_hbm, spad_hbm, ctpad_hbm, dg_ref, gv, sv, cv, sem, *, band, hext, f, temperature):
     """Manual-DMA variant (three big strips exceed the auto-pipelined VMEM
-    budget): gext (H+2B, TN), spad/ctpad (H+4B, TN) in HBM; dg out (H+2B, TN).
-    dg[p] = sum_{k=0..2B} exp((S[p-k+2B..] - (k-B)^2 - g[p])/T) * ct[...]."""
+    budget). gext: (H+2B, TN); spad/ctpad: (F + H + 2B + 8, TN) where
+    F = 8-aligned front pad >= 2B+8; dg out: (H+2B, TN).
+
+    dg[p] = sum_{k=0..2B} exp((S[p-k] - (k-B)^2 - g[p])/T) * ct[p-k], with
+    S/ct padded so S[q] lives at row q + F."""
     j = pl.program_id(0)
     tn = dg_ref.shape[1]
     c1 = pltpu.make_async_copy(gext_hbm.at[:, pl.ds(j * tn, tn)], gv, sem.at[0])
@@ -59,25 +89,38 @@ def _softmin_bwd_kernel(gext_hbm, spad_hbm, ctpad_hbm, dg_ref, gv, sv, cv, sem, 
     c1.start(); c2.start(); c3.start()
     c1.wait(); c2.wait(); c3.wait()
     inv_t = jnp.float32(1.0 / temperature)
+    n_groups = (2 * band + 1 + 7) // 8
     for r in range(0, hext, _ROW_CHUNK):
         rc = min(_ROW_CHUNK, hext - r)
         g = gv[r : r + rc, :]
-        acc = jnp.zeros((rc, tn), jnp.float32)
-        for k in range(0, 2 * band + 1):
-            dy = k - band
-            # source row q = p - k; Spad[q + 2B] = Spad[p + (2B - k)]
-            st = sv[r + (2 * band - k) : r + (2 * band - k) + rc, :]
-            ct = cv[r + (2 * band - k) : r + (2 * band - k) + rc, :]
-            w = jnp.exp((st - jnp.float32(dy * dy) - g) * inv_t)
-            acc = acc + w * ct
-        dg_ref[r : r + rc, :] = acc
+
+        def group(jj, acc):
+            # taps k = 8jj .. 8jj+7 read source rows p - k, i.e. padded
+            # rows (r + F) - 8jj - i .. ; aligned base, static sub-slices
+            base = pl.multiple_of(r + f - 8 * jj - 8, 8)
+            sblk = sv[pl.ds(base, rc + 8), :]
+            cblk = cv[pl.ds(base, rc + 8), :]
+            for i in range(8):
+                k_off = jnp.float32(8.0) * jj.astype(jnp.float32) + jnp.float32(i)
+                dy = k_off - jnp.float32(band)
+                # surplus taps from the 8-group rounding get +huge penalty
+                pen = jnp.where(
+                    k_off <= jnp.float32(2 * band), dy * dy, jnp.float32(3e38)
+                )
+                # row offset inside blk for tap k: (r+F-k) - base = 8 - i
+                st = sblk[8 - i : 8 - i + rc, :]
+                ct = cblk[8 - i : 8 - i + rc, :]
+                w = jnp.exp((st - pen - g) * inv_t)
+                acc = acc + w * ct
+            return acc
+
+        dg_ref[r : r + rc, :] = jax.lax.fori_loop(
+            0, n_groups, group, jnp.zeros((rc, tn), jnp.float32)
+        )
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-_NEG_HUGE = -3.0e38
 
 
 def softmin_col_fwd(gext: jnp.ndarray, band: int, temperature: float, interpret: bool) -> jnp.ndarray:
@@ -85,20 +128,19 @@ def softmin_col_fwd(gext: jnp.ndarray, band: int, temperature: float, interpret:
     hext, w = gext.shape
     h = hext - 2 * band
     wp = _round_up(w, 128)
-    if wp != w:
-        gext = jnp.pad(gext, ((0, 0), (0, wp - w)), constant_values=1e30)
     tn = _pick_tn_fwd(h, band, wp)
     wp2 = _round_up(wp, tn)
-    if wp2 != wp:
-        gext = jnp.pad(gext, ((0, 0), (0, wp2 - wp)), constant_values=1e30)
-        wp = wp2
+    # 8 extra bottom sentinel rows for the rounded-up tap groups
+    gext = jnp.pad(
+        gext, ((0, 8), (0, wp2 - w)), constant_values=jnp.float32(_PAD_H)
+    )
     kern = functools.partial(_softmin_fwd_kernel, band=band, h=h, temperature=temperature)
     out = pl.pallas_call(
         kern,
-        grid=(wp // tn,),
-        in_specs=[pl.BlockSpec((hext, tn), lambda j: (0, j), memory_space=pltpu.VMEM)],
+        grid=(wp2 // tn,),
+        in_specs=[pl.BlockSpec((hext + 8, tn), lambda j: (0, j), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((h, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((h, wp2), jnp.float32),
         interpret=interpret,
     )(gext)
     return out[:, :w]
@@ -110,32 +152,31 @@ def softmin_col_bwd(
     """Gradient wrt gext. gext: (H+2B, W); s, ct: (H, W)."""
     hext, w = gext.shape
     wp = _round_up(w, 128)
-    spad = jnp.pad(s, ((2 * band, 2 * band), (0, wp - w)), constant_values=_NEG_HUGE)
-    ctpad = jnp.pad(ct, ((2 * band, 2 * band), (0, wp - w)), constant_values=0.0)
-    if wp != w:
-        gext = jnp.pad(gext, ((0, 0), (0, wp - w)), constant_values=1e30)
     tn = 128
     wp2 = _round_up(wp, tn)
-    if wp2 != wp:
-        gext = jnp.pad(gext, ((0, 0), (0, wp2 - wp)), constant_values=1e30)
-        spad = jnp.pad(spad, ((0, 0), (0, wp2 - wp)), constant_values=_NEG_HUGE)
-        ctpad = jnp.pad(ctpad, ((0, 0), (0, wp2 - wp)), constant_values=0.0)
-        wp = wp2
-    kern = functools.partial(_softmin_bwd_kernel, band=band, hext=hext, temperature=temperature)
+    f = _round_up(2 * band + 8, 8)
+    back = 2 * band + 16
+    spad = jnp.pad(s, ((f, back), (0, wp2 - w)), constant_values=jnp.float32(_NEG_HUGE))
+    ctpad = jnp.pad(ct, ((f, back), (0, wp2 - w)), constant_values=jnp.float32(0.0))
+    gext = jnp.pad(gext, ((0, 0), (0, wp2 - w)), constant_values=jnp.float32(_PAD_H))
+    kern = functools.partial(
+        _softmin_bwd_kernel, band=band, hext=hext, f=f, temperature=temperature
+    )
+    hpad = spad.shape[0]
     out = pl.pallas_call(
         kern,
-        grid=(wp // tn,),
+        grid=(wp2 // tn,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((hext, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hext, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((hext, wp2), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((hext, tn), jnp.float32),
-            pltpu.VMEM((hext + 2 * band, tn), jnp.float32),
-            pltpu.VMEM((hext + 2 * band, tn), jnp.float32),
+            pltpu.VMEM((hpad, tn), jnp.float32),
+            pltpu.VMEM((hpad, tn), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
@@ -145,7 +186,7 @@ def softmin_col_bwd(
 
 def _pick_tn_fwd(h: int, band: int, w: int) -> int:
     budget = 11 * 1024 * 1024
-    per_lane = (h + 2 * band) * 4 * 2 + h * 4 * 2  # in + out, double-buffered
+    per_lane = (h + 2 * band + 8) * 4 * 2 + h * 4 * 2  # in + out, double-buffered
     tn = budget // max(per_lane, 1)
     tn = min(tn, w, 1024)
     tn = (tn // 128) * 128

@@ -123,6 +123,38 @@ def write_gray(
             f.write(data)
 
 
+def write_gray_alpha(
+    img: np.ndarray,
+    outfile: str,
+    filetype: Optional[str] = None,
+    quality: int = 100,
+) -> None:
+    """Write (H, W) uint8 as gray+alpha(=255), the OpenCL binary's output
+    layout (opencl/main.cpp:166-199; the kernel writes (val,val,val,255),
+    sdf.cl:222-223)."""
+    from PIL import Image
+
+    ft = deduce_filetype(outfile if outfile != "-" else "", filetype)
+    la = np.stack([np.ascontiguousarray(img, np.uint8), np.full_like(img, 255)], -1)
+    im = Image.fromarray(la, mode="LA")
+    buf = io.BytesIO()
+    if ft == "jpg":  # JPEG has no alpha; write gray like stb would collapse
+        im.convert("L").save(buf, format="JPEG", quality=int(quality))
+    elif ft in ("bmp", "tga"):
+        (im.convert("LA") if ft == "tga" else im.convert("RGB")).save(
+            buf, format=ft.upper()
+        )
+    else:
+        im.save(buf, format="PNG")
+    data = buf.getvalue()
+    if outfile == "-":
+        sys.stdout.buffer.write(data)
+        sys.stdout.buffer.flush()
+    else:
+        with open(outfile, "wb") as f:
+            f.write(data)
+
+
 def encode_gray(img: np.ndarray, filetype: str, quality: int = 100) -> bytes:
     img = np.ascontiguousarray(img, dtype=np.uint8)
     native = _native_codec()

@@ -99,3 +99,28 @@ def test_stdout_streaming(tmp_path, sample_golden, monkeypatch, capsysbinary):
     data = capsysbinary.readouterr().out
     got = np.asarray(Image.open(io.BytesIO(data)))
     np.testing.assert_array_equal(got, sample_golden)
+
+
+def test_cli_list_platforms(capsys):
+    assert main(["--list-platforms"]) == 0
+    assert capsys.readouterr().out.strip()
+
+
+def test_cli_device_selection(tmp_path, sample_golden):
+    out = tmp_path / "dev.png"
+    rc = main(["-i", SAMPLE, "-o", str(out), "-s", "100", "-al", "--device", "0"])
+    assert rc == 0
+    np.testing.assert_array_equal(np.asarray(Image.open(out)), sample_golden)
+    assert main(["-i", SAMPLE, "-o", str(out), "--device", "99"]) == 1
+    assert main(["-i", SAMPLE, "-o", str(out), "--device", "nonexistent-kind"]) == 1
+
+
+def test_cli_two_channel_output(tmp_path):
+    out = tmp_path / "la.png"
+    rc = main(["-i", SAMPLE, "-o", str(out), "-s", "16", "-l", "--algorithm", "brute",
+               "--two-channel"])
+    assert rc == 0
+    im = Image.open(out)
+    assert im.mode == "LA"
+    arr = np.asarray(im)
+    assert (arr[..., 1] == 255).all()

@@ -141,6 +141,7 @@ def softmin_col_fwd(gext: jnp.ndarray, band: int, temperature: float, interpret:
         in_specs=[pl.BlockSpec((hext + 8, tn), lambda j: (0, j), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((h, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, wp2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(gext)
     return out[:, :w]
@@ -154,15 +155,22 @@ def softmin_col_bwd(
     wp = _round_up(w, 128)
     tn = 128
     wp2 = _round_up(wp, tn)
+    # HBM->VMEM DMA slices must be 8-row aligned: round every row dim up
+    hext8 = _round_up(hext, 8)
     f = _round_up(2 * band + 8, 8)
-    back = 2 * band + 16
+    back = _round_up(2 * band + 16 + (hext8 - hext) + (f + s.shape[0]) % 8 + 8, 8)
     spad = jnp.pad(s, ((f, back), (0, wp2 - w)), constant_values=jnp.float32(_NEG_HUGE))
     ctpad = jnp.pad(ct, ((f, back), (0, wp2 - w)), constant_values=jnp.float32(0.0))
-    gext = jnp.pad(gext, ((0, 0), (0, wp2 - w)), constant_values=jnp.float32(_PAD_H))
-    kern = functools.partial(
-        _softmin_bwd_kernel, band=band, hext=hext, f=f, temperature=temperature
+    hpad = _round_up(spad.shape[0], 8)
+    if hpad != spad.shape[0]:
+        spad = jnp.pad(spad, ((0, hpad - spad.shape[0]), (0, 0)), constant_values=jnp.float32(_NEG_HUGE))
+        ctpad = jnp.pad(ctpad, ((0, hpad - ctpad.shape[0]), (0, 0)))
+    gext = jnp.pad(
+        gext, ((0, hext8 - hext), (0, wp2 - w)), constant_values=jnp.float32(_PAD_H)
     )
-    hpad = spad.shape[0]
+    kern = functools.partial(
+        _softmin_bwd_kernel, band=band, hext=hext8, f=f, temperature=temperature
+    )
     out = pl.pallas_call(
         kern,
         grid=(wp2 // tn,),
@@ -171,17 +179,18 @@ def softmin_col_bwd(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((hext, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hext, wp2), jnp.float32),
+        out_specs=pl.BlockSpec((hext8, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hext8, wp2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((hext, tn), jnp.float32),
+            pltpu.VMEM((hext8, tn), jnp.float32),
             pltpu.VMEM((hpad, tn), jnp.float32),
             pltpu.VMEM((hpad, tn), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(gext, spad, ctpad)
-    return out[:, :w]
+    return out[:hext, :w]
 
 
 def _pick_tn_fwd(h: int, band: int, w: int) -> int:

@@ -105,6 +105,70 @@ def _row_pass_kernel(b_ref, din_ref, dout_ref, *, w, band, chunk, w_actual):
         dout_ref[r : r + rc, :] = field(seeds == 0).astype(jnp.uint8)
 
 
+def _row_pass_sweep_kernel(bt_ref, dint_ref, doutt_ref, dscr, *, w_rows, w_actual, band):
+    """Pass 1 on the TRANSPOSED image: bt (W, TN) u8 where axis 0 is the
+    original x (the scan axis) and lanes are original rows. Outputs
+    transposed u8 distances for both polarities.
+
+    Lane-direction rolls measured ~50x slower than plain VPU ops on v5e,
+    so the scan runs along SUBLANES instead: the classic two-sweep 1-D
+    chamfer (down then up, in place — exact for L1) with both fields
+    stacked along lanes, 8-row blocks updated via three intra-block
+    log-jump shifts plus a carried last-row vector, all as a fori_loop
+    (dynamic 8-aligned block indices; long unrolled chains miscompile).
+    ~24 cheap ops per element vs the roll version's shuffle storm."""
+    tn = bt_ref.shape[1]
+    inf = jnp.int32(1 << 20)
+    clipv = jnp.int32(min(band + 1, 255))
+    nblk = w_rows // 8
+
+    # init: both polarity indicator fields side by side along lanes
+    xs = jax.lax.broadcasted_iota(jnp.int32, (w_rows, tn), 0)
+    valid = xs < jnp.int32(w_actual)
+    seeds = bt_ref[:, :].astype(jnp.int32)
+    d_in0 = jnp.where(jnp.logical_and(seeds > 0, valid), jnp.int32(0), inf)
+    d_out0 = jnp.where(jnp.logical_and(seeds == 0, valid), jnp.int32(0), inf)
+    dscr[:, 0:tn] = d_in0
+    dscr[:, tn : 2 * tn] = d_out0
+
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * tn), 0)
+
+    def shift_down(blk, st):
+        top = jnp.full((st, 2 * tn), inf, jnp.int32)
+        return jnp.concatenate([top, blk[: 8 - st, :]], axis=0)
+
+    def shift_up(blk, st):
+        bot = jnp.full((st, 2 * tn), inf, jnp.int32)
+        return jnp.concatenate([blk[st:, :], bot], axis=0)
+
+    def down_body(i, carry):
+        base = pl.multiple_of(i * 8, 8)
+        blk = dscr[pl.ds(base, 8), :]
+        for st in (1, 2, 4):
+            blk = jnp.minimum(blk, shift_down(blk, st) + jnp.int32(st))
+        blk = jnp.minimum(blk, carry + row8 + jnp.int32(1))
+        dscr[pl.ds(base, 8), :] = blk
+        return blk[7:8, :]
+
+    carry0 = jnp.full((1, 2 * tn), inf, jnp.int32)
+    jax.lax.fori_loop(0, nblk, down_body, carry0)
+
+    def up_body(i, carry):
+        base = pl.multiple_of((nblk - 1 - i) * 8, 8)
+        blk = dscr[pl.ds(base, 8), :]
+        for st in (1, 2, 4):
+            blk = jnp.minimum(blk, shift_up(blk, st) + jnp.int32(st))
+        blk = jnp.minimum(blk, carry + (jnp.int32(8) - row8))
+        dscr[pl.ds(base, 8), :] = blk
+        return blk[0:1, :]
+
+    jax.lax.fori_loop(0, nblk, up_body, carry0)
+
+    d = jnp.minimum(dscr[:, :], clipv)
+    dint_ref[:, :] = d[:, 0:tn].astype(jnp.uint8)
+    doutt_ref[:, :] = d[:, tn : 2 * tn].astype(jnp.uint8)
+
+
 def _fused_kernel(din_ref, dout_ref, out_ref, gin_ref, gout_ref, *, band, h, spread, asymmetric, sq_dtype):
     """din/dout: (H + 2B, TN) uint8 row-distance strips (clipped at
     band+1); gin/gout: int16 VMEM scratch for the squared strips; out:
@@ -170,6 +234,78 @@ def _fused_kernel(din_ref, dout_ref, out_ref, gin_ref, gout_ref, *, band, h, spr
         out_ref[r : r + rc, :] = remap.astype(jnp.int32).astype(jnp.uint8)
 
 
+def _fused_kernel_adaptive(
+    din_ref, dout_ref, out_ref, gin_ref, gout_ref, acc_ref, dtmp_ref, smin_ref,
+    *, band, h, spread, asymmetric
+):
+    """Adaptive variant of _fused_kernel: taps run in 8-|dy| groups from the
+    center outward, and a group is skipped when its lower bound
+    (min dy^2 in group + min over the whole strip) provably cannot improve
+    any pixel of the current chunk — the TPU-native form of the reference
+    search's bound shrinking (opencl/sdf.cl:66-69, 100-103). Byte-exact:
+    work is only skipped when it cannot change the minimum.
+
+    Extra scratch: acc_ref (chunk accumulator, predicated updates need a
+    mutable ref), dtmp_ref (holds d_in while d_out is computed),
+    smin_ref (SMEM: per-field strip minima)."""
+    hext = din_ref.shape[0]
+    clipv = jnp.int32(band + 1)
+    for r in range(0, hext, _ROW_CHUNK):
+        rc = min(_ROW_CHUNK, hext - r)
+        di = jnp.minimum(din_ref[r : r + rc, :].astype(jnp.int32), clipv)
+        do = jnp.minimum(dout_ref[r : r + rc, :].astype(jnp.int32), clipv)
+        gin_ref[r : r + rc, :] = (di * di).astype(jnp.float32)
+        gout_ref[r : r + rc, :] = (do * do).astype(jnp.float32)
+    smin_ref[0] = jnp.min(gin_ref[:, :])
+    smin_ref[1] = jnp.min(gout_ref[:, :])
+
+    n_groups = (band + 7) // 8
+
+    def band_min_chunk(ref, r, rc, field_idx):
+        # center group: dy = 0..8 (unconditional)
+        acc = ref[r + band : r + band + rc, :]
+        for dy in range(1, min(8, band) + 1):
+            pair = jnp.minimum(
+                ref[r + band - dy : r + band - dy + rc, :],
+                ref[r + band + dy : r + band + dy + rc, :],
+            )
+            acc = jnp.minimum(acc, pair + jnp.float32(dy * dy))
+        acc_ref[0:rc, :] = acc
+        smin_ref[2] = jnp.max(acc)
+        strip_min = smin_ref[field_idx]
+
+        for g in range(1, n_groups):
+            lo = jnp.float32((8 * g + 1) ** 2) + strip_min
+
+            @pl.when(lo < smin_ref[2])
+            def _():
+                a = acc_ref[0:rc, :]
+                for dy in range(8 * g + 1, min(8 * (g + 1), band) + 1):
+                    pair = jnp.minimum(
+                        ref[r + band - dy : r + band - dy + rc, :],
+                        ref[r + band + dy : r + band + dy + rc, :],
+                    )
+                    a = jnp.minimum(a, pair + jnp.float32(dy * dy))
+                acc_ref[0:rc, :] = a
+                smin_ref[2] = jnp.max(a)
+
+        return _refined_sqrt_inline(acc_ref[0:rc, :])
+
+    s_min = jnp.float32(0.0) if asymmetric else jnp.float32(-float(spread))
+    s_max = jnp.float32(float(spread))
+    for r in range(0, h, _ROW_CHUNK):
+        rc = min(_ROW_CHUNK, h - r)
+        dtmp_ref[0:rc, :] = band_min_chunk(gin_ref, r, rc, 0)
+        d_out = band_min_chunk(gout_ref, r, rc, 1)
+        d_in = dtmp_ref[0:rc, :]
+        biased = jnp.where(d_in > 0, d_in + jnp.float32(-1.0), d_in)
+        vals = d_out - biased
+        v = jnp.minimum(vals, s_max)
+        v = jnp.maximum(v, s_min)
+        remap = ((v - s_min) * jnp.float32(255.0)) / (s_max - s_min) + jnp.float32(0.0)
+        out_ref[r : r + rc, :] = remap.astype(jnp.int32).astype(jnp.uint8)
+
+
 def _pick_tn(h: int, band: int, w: int) -> int:
     """Largest lane-tile (multiple of 128) such that two double-buffered
     input strips + the output block stay within ~12 MB of VMEM."""
@@ -186,7 +322,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spread", "asymmetric", "band", "interpret")
+    jax.jit, static_argnames=("spread", "asymmetric", "band", "interpret", "adaptive")
 )
 def fused_sdf_bytes(
     b: jnp.ndarray,
@@ -194,6 +330,7 @@ def fused_sdf_bytes(
     asymmetric: bool = False,
     band: int | None = None,
     interpret: bool | None = None,
+    adaptive: bool = True,
 ) -> jnp.ndarray:
     """Hard EXACT pipeline, Pallas-fused pass 2. b: (..., H, W) bool ->
     (..., H, W) uint8, byte-identical to the OpenMP reference (see
@@ -204,7 +341,8 @@ def fused_sdf_bytes(
 
     if b.ndim > 2:
         fn = functools.partial(
-            fused_sdf_bytes, spread=spread, asymmetric=asymmetric, band=band, interpret=interpret
+            fused_sdf_bytes, spread=spread, asymmetric=asymmetric, band=band,
+            interpret=interpret, adaptive=adaptive,
         )
         for _ in range(b.ndim - 2):
             fn = jax.vmap(fn)
@@ -221,30 +359,32 @@ def fused_sdf_bytes(
 
     hp = _round_up(h, 8)
     wp = _round_up(w, 128)
-    b_u8 = jnp.pad(b.astype(jnp.uint8), ((0, hp - h), (0, wp - w)))
 
-    # ---- kernel A: per-row nearest-seed distances, both polarities ----
-    tma = min(hp, 128)
-    hpa = _round_up(hp, tma)
-    if hpa != hp:
-        b_u8 = jnp.pad(b_u8, ((0, hpa - hp), (0, 0)))
+    # ---- pass 1: per-row nearest-seed distances, both polarities, on the
+    # transposed image (scan rides sublanes; see _row_pass_sweep_kernel) ----
+    hpa = _round_up(hp, 128)
+    b_t = jnp.pad(b.astype(jnp.uint8), ((0, hpa - h), (0, wp - w))).T  # (wp, hpa)
+    tn1 = 128
     kern_a = functools.partial(
-        _row_pass_kernel, w=wp, band=band, chunk=32, w_actual=w
+        _row_pass_sweep_kernel, w_rows=wp, w_actual=w, band=band
     )
-    din, dout = pl.pallas_call(
+    din_t, dout_t = pl.pallas_call(
         kern_a,
-        grid=(hpa // tma,),
-        in_specs=[pl.BlockSpec((tma, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        grid=(hpa // tn1,),
+        in_specs=[pl.BlockSpec((wp, tn1), lambda i: (0, i), memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((tma, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tma, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, tn1), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, tn1), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((hpa, wp), jnp.uint8),
-            jax.ShapeDtypeStruct((hpa, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((wp, hpa), jnp.uint8),
+            jax.ShapeDtypeStruct((wp, hpa), jnp.uint8),
         ],
+        scratch_shapes=[pltpu.VMEM((wp, 2 * tn1), jnp.int32)],
         interpret=interpret,
-    )(b_u8)
+    )(b_t)
+    din = din_t.T
+    dout = dout_t.T
 
     # rows beyond the real image must read as saturated for BOTH fields
     # (no pixels exist there); the same pad supplies the band halo.
@@ -261,11 +401,21 @@ def fused_sdf_bytes(
         dout = jnp.pad(dout, ((0, 0), (0, wp2 - wp)), constant_values=sat)
         wp = wp2
 
-    sq_dtype = jnp.float32
-    kern_b = functools.partial(
-        _fused_kernel, band=band, h=hp, spread=spread, asymmetric=asymmetric,
-        sq_dtype=sq_dtype,
-    )
+    if adaptive:
+        kern_b = functools.partial(
+            _fused_kernel_adaptive, band=band, h=hp, spread=spread, asymmetric=asymmetric
+        )
+        extra_scratch = [
+            pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),  # chunk accumulator
+            pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),  # d_in hold
+            pltpu.SMEM((4,), jnp.float32),              # strip minima + chunk max
+        ]
+    else:
+        kern_b = functools.partial(
+            _fused_kernel, band=band, h=hp, spread=spread, asymmetric=asymmetric,
+            sq_dtype=jnp.float32,
+        )
+        extra_scratch = []
     out = pl.pallas_call(
         kern_b,
         grid=(wp // tn,),
@@ -276,9 +426,9 @@ def fused_sdf_bytes(
         out_specs=pl.BlockSpec((hp, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((hp + 2 * band, tn), sq_dtype),
-            pltpu.VMEM((hp + 2 * band, tn), sq_dtype),
-        ],
+            pltpu.VMEM((hp + 2 * band, tn), jnp.float32),
+            pltpu.VMEM((hp + 2 * band, tn), jnp.float32),
+        ] + extra_scratch,
         interpret=interpret,
     )(din, dout)
     return out[:h, :w]

@@ -169,8 +169,20 @@ def soft_sdf_field(
     logits = threshold.soft_logits(gray, tau=tau, test_above=test_above)
     h_in = threshold.soft_log_indicator_from_logits(logits, temperature, True, big)
     h_out = threshold.soft_log_indicator_from_logits(logits, temperature, False, big)
-    d2_in = soft_edt_sq(h_in, band, temperature)
-    d2_out = soft_edt_sq(h_out, band, temperature)
+    if gray.ndim == 2:
+        # Stacked dual-field fast path: both fields ride one kernel per
+        # pass, separated by a (band+1)-row sentinel gap the stencil can
+        # never cross; 2 transposes total instead of 4.
+        h_, w_ = gray.shape
+        gap = jnp.full((band + 1, h_), jnp.float32(_PAD_HEIGHT))
+        stack = jnp.concatenate([h_in.T, gap, h_out.T], axis=0)  # (2W+g, H)
+        s1 = band_softmin(stack, band, temperature, axis=-2)
+        d2s = band_softmin(s1.T, band, temperature, axis=-2)  # (H, 2W+g)
+        d2_in = d2s[:, :w_]
+        d2_out = d2s[:, w_ + band + 1 :]
+    else:
+        d2_in = soft_edt_sq(h_in, band, temperature)
+        d2_out = soft_edt_sq(h_out, band, temperature)
     e = jnp.float32(eps)
     d_in = jnp.sqrt(jnp.maximum(d2_in, 0) + e)
     d_out = jnp.sqrt(jnp.maximum(d2_out, 0) + e)

@@ -170,16 +170,18 @@ def soft_sdf_field(
     h_in = threshold.soft_log_indicator_from_logits(logits, temperature, True, big)
     h_out = threshold.soft_log_indicator_from_logits(logits, temperature, False, big)
     if gray.ndim == 2:
-        # Stacked dual-field fast path: both fields ride one kernel per
-        # pass, separated by a (band+1)-row sentinel gap the stencil can
-        # never cross; 2 transposes total instead of 4.
+        # 2-D fast path. Pass 1 runs per field on the transpose (a stacked
+        # (2W+B, H) strip would exceed the Pallas VMEM gate and silently
+        # fall back to the O(band) XLA scan); pass 2 stacks the two fields
+        # along LANES (columns are independent, no gap needed) so one
+        # kernel call serves both.
         h_, w_ = gray.shape
-        gap = jnp.full((band + 1, h_), jnp.float32(_PAD_HEIGHT))
-        stack = jnp.concatenate([h_in.T, gap, h_out.T], axis=0)  # (2W+g, H)
-        s1 = band_softmin(stack, band, temperature, axis=-2)
-        d2s = band_softmin(s1.T, band, temperature, axis=-2)  # (H, 2W+g)
+        s1_in_t = band_softmin(h_in.T, band, temperature, axis=-2)  # (W, H)
+        s1_out_t = band_softmin(h_out.T, band, temperature, axis=-2)
+        s1 = jnp.concatenate([s1_in_t.T, s1_out_t.T], axis=1)  # (H, 2W)
+        d2s = band_softmin(s1, band, temperature, axis=-2)
         d2_in = d2s[:, :w_]
-        d2_out = d2s[:, w_ + band + 1 :]
+        d2_out = d2s[:, w_:]
     else:
         d2_in = soft_edt_sq(h_in, band, temperature)
         d2_out = soft_edt_sq(h_out, band, temperature)

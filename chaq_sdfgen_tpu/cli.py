@@ -131,8 +131,21 @@ def main(argv: Optional[list] = None) -> int:
     from chaq_sdfgen_tpu.models.sdf_model import SDFGenerator
     from chaq_sdfgen_tpu.utils import imageio as iio
 
+    # Host image decode overlapped with device-backend bring-up, mirroring
+    # the reference's std::async(open_image) alongside OpenCL setup
+    # (opencl/main.cpp:604, 729-738). stdin cannot be read from a worker
+    # thread safely; keep it synchronous.
+    import concurrent.futures
+
     try:
-        img2ch = iio.load_gray_alpha(args.input)
+        if args.input == "-":
+            img2ch = iio.load_gray_alpha(args.input)
+            jax.devices()
+        else:
+            with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+                fut = ex.submit(iio.load_gray_alpha, args.input)
+                jax.devices()  # force backend initialization concurrently
+                img2ch = fut.result()
     except Exception as e:
         print(f"Input file could not be opened. ({e})", file=sys.stderr)
         return 1

@@ -73,13 +73,18 @@ def jfa_seed_coords(seeds: jnp.ndarray, plus_one: bool = True):
     d2 = jnp.where(seeds, jnp.int32(0), _INVALID_D2)
 
     for k in _strides(h, w, plus_one):
+        # synchronous (textbook) JFA: all 8 neighbour candidates read the
+        # state as of the START of this stride — the same schedule the
+        # sharded version gets from its once-per-stride halo exchange, so
+        # single-chip and sharded results are bitwise identical
+        ssy, ssx, sva = sy, sx, valid
         for dy in (-k, 0, k):
             for dx in (-k, 0, k):
                 if dy == 0 and dx == 0:
                     continue
-                csy = _shift2d(sy, dy, dx, 0)
-                csx = _shift2d(sx, dy, dx, 0)
-                cva = _shift2d(valid, dy, dx, False)
+                csy = _shift2d(ssy, dy, dx, 0)
+                csx = _shift2d(ssx, dy, dx, 0)
+                cva = _shift2d(sva, dy, dx, False)
                 cd2 = (yy - csy) ** 2 + (xx - csx) ** 2
                 cd2 = jnp.where(cva, cd2, _INVALID_D2)
                 take = cd2 < d2

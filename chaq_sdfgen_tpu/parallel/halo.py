@@ -25,7 +25,7 @@ def exchange_row_halo(g: jnp.ndarray, band: int, axis_name: str, fill: float) ->
     i = lax.axis_index(axis_name)
     yax = g.ndim - 2
     h_local = g.shape[yax]
-    fillv = jnp.float32(fill)
+    fillv = jnp.asarray(fill, g.dtype)
     hops = -(-band // h_local)  # ceil
 
     def take_rows(x, start, size):

@@ -70,6 +70,71 @@ def sharded_hard_sdf_bytes(
     return mapped(b)
 
 
+def sharded_jfa_distance(
+    seeds: jnp.ndarray,
+    mesh: Mesh,
+    plus_one: bool = True,
+    y_axis: str = "y",
+) -> jnp.ndarray:
+    """Jump-flood distance field over a row-sharded mesh (BASELINE
+    config 3's cross-tile nearest-seed reduction): every stride-k pass
+    exchanges a k-row halo of the (seed-coord, d2, valid) state over the
+    ICI ring — multi-hop when k exceeds a shard — so the propagation sees
+    exactly the same candidates as the single-chip kernel. Bitwise equal
+    to ops.jfa.jfa_distance. seeds: (H, W) bool, H divisible by the mesh.
+    """
+    from chaq_sdfgen_tpu.ops import jfa as jfa_ops
+    from chaq_sdfgen_tpu.ops.numerics import refined_sqrt
+
+    h, w = seeds.shape
+    n = dict(zip(mesh.axis_names, mesh.devices.shape))[y_axis]
+    h_local = h // n
+    strides = jfa_ops._strides(h, w, plus_one)
+    invalid = jfa_ops._INVALID_D2
+
+    def local(seeds_blk):
+        i = jax.lax.axis_index(y_axis)
+        yy = (
+            jax.lax.broadcasted_iota(jnp.int32, seeds_blk.shape, 0)
+            + i.astype(jnp.int32) * jnp.int32(h_local)
+        )
+        xx = jax.lax.broadcasted_iota(jnp.int32, seeds_blk.shape, 1)
+        sy = jnp.where(seeds_blk, yy, jnp.int32(0))
+        sx = jnp.where(seeds_blk, xx, jnp.int32(0))
+        valid = seeds_blk
+        d2 = jnp.where(seeds_blk, jnp.int32(0), invalid)
+
+        for k in strides:
+            # k-row halo of the full state in global coordinates
+            sy_e = exchange_row_halo(sy, k, y_axis, 0)
+            sx_e = exchange_row_halo(sx, k, y_axis, 0)
+            va_e = exchange_row_halo(valid, k, y_axis, False)
+            for dy in (-k, 0, k):
+                # rows [k+dy, k+dy+h_local) of the extended state
+                ys = k + dy
+                csy = jax.lax.slice_in_dim(sy_e, ys, ys + h_local, axis=0)
+                csx = jax.lax.slice_in_dim(sx_e, ys, ys + h_local, axis=0)
+                cva = jax.lax.slice_in_dim(va_e, ys, ys + h_local, axis=0)
+                for dx in (-k, 0, k):
+                    if dx != 0:
+                        csy2 = jfa_ops._shift2d(csy, 0, dx, 0)
+                        csx2 = jfa_ops._shift2d(csx, 0, dx, 0)
+                        cva2 = jfa_ops._shift2d(cva, 0, dx, False)
+                    else:
+                        csy2, csx2, cva2 = csy, csx, cva
+                    cd2 = (yy - csy2) ** 2 + (xx - csx2) ** 2
+                    cd2 = jnp.where(cva2, cd2, invalid)
+                    take = cd2 < d2
+                    sy = jnp.where(take, csy2, sy)
+                    sx = jnp.where(take, csx2, sx)
+                    valid = jnp.logical_or(valid, cva2)
+                    d2 = jnp.minimum(d2, cd2)
+        return refined_sqrt(d2.astype(jnp.float32))
+
+    spec = P(y_axis, None)
+    return jax.shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)(seeds)
+
+
 def sharded_soft_sdf_field(
     gray: jnp.ndarray,
     spread: int,

@@ -85,3 +85,30 @@ def test_row_sharding_placement():
     sh = meshlib.row_sharding(mesh, batch_axis="data")
     x = jax.device_put(jnp.zeros((2, 32, 8)), sh)
     assert x.sharding.spec == P("data", "y", None)
+
+
+@pytest.mark.parametrize("n", [2, 8])
+def test_sharded_jfa_bitwise_equal(n):
+    from chaq_sdfgen_tpu.ops import jfa
+    from chaq_sdfgen_tpu.parallel.sharded import sharded_jfa_distance
+
+    rng = np.random.default_rng(n)
+    b = rng.random((64, 48)) < 0.15
+    mesh = _mesh1d(n)
+    got = np.asarray(sharded_jfa_distance(jnp.asarray(b), mesh))
+    want = np.asarray(jfa.jfa_distance(jnp.asarray(b)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_jfa_stride_exceeds_shard():
+    # 8 shards of 8 rows, strides up to 32 -> multi-hop state halos
+    from chaq_sdfgen_tpu.ops import jfa
+    from chaq_sdfgen_tpu.parallel.sharded import sharded_jfa_distance
+
+    rng = np.random.default_rng(99)
+    b = rng.random((64, 32)) < 0.02
+    b[3, 5] = True
+    mesh = _mesh1d(8)
+    got = np.asarray(sharded_jfa_distance(jnp.asarray(b), mesh))
+    want = np.asarray(jfa.jfa_distance(jnp.asarray(b)))
+    np.testing.assert_array_equal(got, want)

@@ -48,6 +48,11 @@ def _softmin_fwd_kernel(gext_ref, out_ref, *, band, h, temperature):
     t = jnp.float32(temperature)
     n_groups = (2 * band + 1 + 7) // 8
     tn = out_ref.shape[1]
+    # exp((m - tap)/T) is EXACTLY 0.0f once (tap - m)/T > ~104 (f32 exp
+    # underflow incl. subnormals), so a tap group whose lower bound
+    # (min dy^2 + strip min) clears max(m) + 104T contributes nothing —
+    # skipping it is bit-exact (same adaptive idea as the hard kernel).
+    strip_min = jnp.min(gext_ref[:, :])
     for r in range(0, h, _ROW_CHUNK):
         rc = min(_ROW_CHUNK, h - r)
         # phase A: hard band-min (static unroll; single-use slices)
@@ -57,9 +62,10 @@ def _softmin_fwd_kernel(gext_ref, out_ref, *, band, h, temperature):
                 continue
             dy = k - band
             m = jnp.minimum(m, gext_ref[r + k : r + k + rc, :] + jnp.float32(dy * dy))
+        thresh = jnp.max(m) + jnp.float32(104.0) * t
 
         # phase B: exp-sum in 8-tap groups (aligned dynamic load)
-        def group(j, acc):
+        def taps(j, acc):
             base = pl.multiple_of(r + 8 * j, 8)
             blk = gext_ref[pl.ds(base, rc + 8), :]
             for i in range(8):
@@ -69,6 +75,15 @@ def _softmin_fwd_kernel(gext_ref, out_ref, *, band, h, temperature):
                 pen = jnp.where(k <= jnp.float32(2 * band), dy * dy, jnp.float32(3e38))
                 acc = acc + jnp.exp((m - blk[i : i + rc, :] - pen) * inv_t)
             return acc
+
+        def group(j, acc):
+            kf = jnp.float32(8.0) * j.astype(jnp.float32)
+            lo1 = jnp.abs(kf - jnp.float32(band))
+            lo2 = jnp.abs(kf + jnp.float32(7.0) - jnp.float32(band))
+            straddles = jnp.logical_and(kf <= jnp.float32(band), jnp.float32(band) < kf + 8.0)
+            dymin = jnp.where(straddles, jnp.float32(0.0), jnp.minimum(lo1, lo2))
+            lb = dymin * dymin + strip_min
+            return jax.lax.cond(lb <= thresh, lambda a: taps(j, a), lambda a: a, acc)
 
         acc = jax.lax.fori_loop(0, n_groups, group, jnp.zeros((rc, tn), jnp.float32))
         out_ref[r : r + rc, :] = m - t * jnp.log(acc)
@@ -89,12 +104,22 @@ def _softmin_bwd_kernel(gext_hbm, spad_hbm, ctpad_hbm, dg_ref, gv, sv, cv, sem, 
     c1.start(); c2.start(); c3.start()
     c1.wait(); c2.wait(); c3.wait()
     inv_t = jnp.float32(1.0 / temperature)
+    t = jnp.float32(temperature)
     n_groups = (2 * band + 1 + 7) // 8
+    # w = exp((S - pen - g)/T) is exactly 0 once (pen + g - S)/T > ~104;
+    # bound per chunk with the max over the S rows this chunk can read
+    # and the chunk's g min.
+    hpad_rows = sv.shape[0]
     for r in range(0, hext, _ROW_CHUNK):
         rc = min(_ROW_CHUNK, hext - r)
         g = gv[r : r + rc, :]
+        g_min = jnp.min(g)
+        lo_row = max(r + f - (8 * n_groups - 1), 0)
+        hi_row = min(r + f + rc, hpad_rows)
+        s_max = jnp.max(sv[lo_row:hi_row, :])
+        thresh = s_max - g_min + jnp.float32(104.0) * t
 
-        def group(jj, acc):
+        def taps(jj, acc):
             # taps k = 8jj .. 8jj+7 read source rows p - k, i.e. padded
             # rows (r + F) - 8jj - i .. ; aligned base, static sub-slices
             base = pl.multiple_of(r + f - 8 * jj - 8, 8)
@@ -113,6 +138,16 @@ def _softmin_bwd_kernel(gext_hbm, spad_hbm, ctpad_hbm, dg_ref, gv, sv, cv, sem, 
                 w = jnp.exp((st - pen - g) * inv_t)
                 acc = acc + w * ct
             return acc
+
+        def group(jj, acc):
+            kf = jnp.float32(8.0) * jj.astype(jnp.float32)
+            lo1 = jnp.abs(kf - jnp.float32(band))
+            lo2 = jnp.abs(kf + jnp.float32(7.0) - jnp.float32(band))
+            straddles = jnp.logical_and(kf <= jnp.float32(band), jnp.float32(band) < kf + 8.0)
+            dymin = jnp.where(straddles, jnp.float32(0.0), jnp.minimum(lo1, lo2))
+            return jax.lax.cond(
+                dymin * dymin <= thresh, lambda a: taps(jj, a), lambda a: a, acc
+            )
 
         dg_ref[r : r + rc, :] = jax.lax.fori_loop(
             0, n_groups, group, jnp.zeros((rc, tn), jnp.float32)

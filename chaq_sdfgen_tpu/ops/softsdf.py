@@ -166,23 +166,27 @@ def soft_sdf_field(
     """
     band = band if band is not None else spread + 2
     big = big_sentinel(band)
-    logits = threshold.soft_logits(gray, tau=tau, test_above=test_above)
-    h_in = threshold.soft_log_indicator_from_logits(logits, temperature, True, big)
-    h_out = threshold.soft_log_indicator_from_logits(logits, temperature, False, big)
     if gray.ndim == 2:
-        # 2-D fast path. Pass 1 runs per field on the transpose (a stacked
-        # (2W+B, H) strip would exceed the Pallas VMEM gate and silently
-        # fall back to the O(band) XLA scan); pass 2 stacks the two fields
-        # along LANES (columns are independent, no gap needed) so one
-        # kernel call serves both.
+        # 2-D fast path. One input transpose, heights computed in the
+        # transposed layout; pass 1 runs per field (a stacked (2W+B, H)
+        # strip would exceed the Pallas VMEM gate and silently fall back
+        # to the O(band) XLA scan); pass 2 stacks the two fields along
+        # LANES (columns are independent, no gap needed) so one kernel
+        # call serves both.
         h_, w_ = gray.shape
-        s1_in_t = band_softmin(h_in.T, band, temperature, axis=-2)  # (W, H)
-        s1_out_t = band_softmin(h_out.T, band, temperature, axis=-2)
+        logits_t = threshold.soft_logits(gray.T, tau=tau, test_above=test_above)
+        h_in_t = threshold.soft_log_indicator_from_logits(logits_t, temperature, True, big)
+        h_out_t = threshold.soft_log_indicator_from_logits(logits_t, temperature, False, big)
+        s1_in_t = band_softmin(h_in_t, band, temperature, axis=-2)  # (W, H)
+        s1_out_t = band_softmin(h_out_t, band, temperature, axis=-2)
         s1 = jnp.concatenate([s1_in_t.T, s1_out_t.T], axis=1)  # (H, 2W)
         d2s = band_softmin(s1, band, temperature, axis=-2)
         d2_in = d2s[:, :w_]
         d2_out = d2s[:, w_:]
     else:
+        logits = threshold.soft_logits(gray, tau=tau, test_above=test_above)
+        h_in = threshold.soft_log_indicator_from_logits(logits, temperature, True, big)
+        h_out = threshold.soft_log_indicator_from_logits(logits, temperature, False, big)
         d2_in = soft_edt_sq(h_in, band, temperature)
         d2_out = soft_edt_sq(h_out, band, temperature)
     e = jnp.float32(eps)

@@ -37,32 +37,80 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _ROW_CHUNK = 256
+_SEG = 64  # granularity of the windowed skip-bound tables
 _PAD_H = 1e30  # sentinel height (matches softsdf._PAD_HEIGHT)
 _NEG_HUGE = -3.0e38
 
 
-def _softmin_fwd_kernel(gext_ref, out_ref, *, band, h, temperature):
+def _softmin_fwd_kernel(gext_ref, out_ref, acc_ref, seg_ref, sm_ref, *, band, h, temperature):
     """gext: (H+2B+8, TN) f32 (8 extra sentinel rows at the bottom);
-    out: (H, TN) f32."""
+    out: (H, TN) f32; acc_ref: (_ROW_CHUNK, TN) VMEM scratch; seg_ref:
+    SMEM per-segment strip minima; sm_ref: SMEM running chunk max.
+
+    Both phases are adaptive (the TPU-native form of the reference search's
+    bound shrinking, opencl/sdf.cl:66-69): a +-dy tap group is skipped when
+    a provable lower bound over the rows it actually reads says it cannot
+    change the result. Bounds come from a per-64-row segment-minimum table
+    (a global strip min is useless when the strip mixes strong seeds with
+    empty space — e.g. glyph atlases). Phase A (hard band-min, the
+    softmax normalizer) skips when the bound cannot lower the chunk's
+    current min; phase B (exp-sum) skips when every term underflows to
+    exactly 0.0f ((tap - m)/T > ~104 incl. subnormals). Both skips are
+    bit-exact."""
     inv_t = jnp.float32(1.0 / temperature)
     t = jnp.float32(temperature)
     n_groups = (2 * band + 1 + 7) // 8
+    n_groups_a = (band + 7) // 8
     tn = out_ref.shape[1]
-    # exp((m - tap)/T) is EXACTLY 0.0f once (tap - m)/T > ~104 (f32 exp
-    # underflow incl. subnormals), so a tap group whose lower bound
-    # (min dy^2 + strip min) clears max(m) + 104T contributes nothing —
-    # skipping it is bit-exact (same adaptive idea as the hard kernel).
-    strip_min = jnp.min(gext_ref[:, :])
+    hrows = gext_ref.shape[0]
+    nseg = (hrows + _SEG - 1) // _SEG
+    for s in range(nseg):
+        seg_ref[s] = jnp.min(gext_ref[s * _SEG : min((s + 1) * _SEG, hrows), :])
+
+    def win_min(lo_row: int, hi_row: int):
+        """Min of the strip over static row range [lo_row, hi_row)."""
+        lo_s = max(lo_row, 0) // _SEG
+        hi_s = (min(hi_row, hrows) + _SEG - 1) // _SEG
+        m = seg_ref[lo_s]
+        for s in range(lo_s + 1, hi_s):
+            m = jnp.minimum(m, seg_ref[s])
+        return m
+
     for r in range(0, h, _ROW_CHUNK):
         rc = min(_ROW_CHUNK, h - r)
-        # phase A: hard band-min (static unroll; single-use slices)
-        m = gext_ref[r + band : r + band + rc, :] + jnp.float32(band * band)
-        for k in range(2 * band + 1):
-            if k == band:
-                continue
-            dy = k - band
-            m = jnp.minimum(m, gext_ref[r + k : r + k + rc, :] + jnp.float32(dy * dy))
-        thresh = jnp.max(m) + jnp.float32(104.0) * t
+        # phase A: adaptive hard band-min, |dy| groups from the center out
+        acc = gext_ref[r + band : r + band + rc, :]
+        for dy in range(1, min(8, band) + 1):
+            pair = jnp.minimum(
+                gext_ref[r + band - dy : r + band - dy + rc, :],
+                gext_ref[r + band + dy : r + band + dy + rc, :],
+            )
+            acc = jnp.minimum(acc, pair + jnp.float32(dy * dy))
+        acc_ref[0:rc, :] = acc
+        sm_ref[0] = jnp.max(acc)
+        for k in range(1, n_groups_a):
+            dylo = 8 * k + 1
+            dyhi = min(8 * (k + 1), band)
+            wmin = jnp.minimum(
+                win_min(r + band - dyhi, r + band - dylo + rc),
+                win_min(r + band + dylo, r + band + dyhi + rc),
+            )
+            lb = jnp.float32(dylo * dylo) + wmin
+
+            @pl.when(lb < sm_ref[0])
+            def _():
+                a = acc_ref[0:rc, :]
+                for dy in range(dylo, dyhi + 1):
+                    pair = jnp.minimum(
+                        gext_ref[r + band - dy : r + band - dy + rc, :],
+                        gext_ref[r + band + dy : r + band + dy + rc, :],
+                    )
+                    a = jnp.minimum(a, pair + jnp.float32(dy * dy))
+                acc_ref[0:rc, :] = a
+                sm_ref[0] = jnp.max(a)
+
+        m = acc_ref[0:rc, :]
+        thresh = sm_ref[0] + jnp.float32(104.0) * t
 
         # phase B: exp-sum in 8-tap groups (aligned dynamic load)
         def taps(j, acc):
@@ -82,7 +130,14 @@ def _softmin_fwd_kernel(gext_ref, out_ref, *, band, h, temperature):
             lo2 = jnp.abs(kf + jnp.float32(7.0) - jnp.float32(band))
             straddles = jnp.logical_and(kf <= jnp.float32(band), jnp.float32(band) < kf + 8.0)
             dymin = jnp.where(straddles, jnp.float32(0.0), jnp.minimum(lo1, lo2))
-            lb = dymin * dymin + strip_min
+            # group j reads strip rows [r + 8j, r + 8j + 8 + rc)
+            lo_s = (r + 8 * j) // jnp.int32(_SEG)
+            hi_s = (r + 8 * j + 8 + rc + _SEG - 1) // jnp.int32(_SEG)
+            hi_s = jnp.minimum(hi_s, nseg)
+            wmin = jax.lax.fori_loop(
+                lo_s, hi_s, lambda s, mv: jnp.minimum(mv, seg_ref[s]), jnp.float32(3e38)
+            )
+            lb = dymin * dymin + wmin
             return jax.lax.cond(lb <= thresh, lambda a: taps(j, a), lambda a: a, acc)
 
         acc = jax.lax.fori_loop(0, n_groups, group, jnp.zeros((rc, tn), jnp.float32))
@@ -170,12 +225,18 @@ def softmin_col_fwd(gext: jnp.ndarray, band: int, temperature: float, interpret:
         gext, ((0, 8), (0, wp2 - w)), constant_values=jnp.float32(_PAD_H)
     )
     kern = functools.partial(_softmin_fwd_kernel, band=band, h=h, temperature=temperature)
+    nseg = (hext + 8 + _SEG - 1) // _SEG
     out = pl.pallas_call(
         kern,
         grid=(wp2 // tn,),
         in_specs=[pl.BlockSpec((hext + 8, tn), lambda j: (0, j), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((h, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, wp2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((min(_ROW_CHUNK, h), tn), jnp.float32),
+            pltpu.SMEM((nseg,), jnp.float32),
+            pltpu.SMEM((2,), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(gext)

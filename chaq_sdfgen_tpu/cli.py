@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(OpenCL-kernel parity), jfa (jump flood)")
     p.add_argument("--list-platforms", action="store_true",
                    help="list available backends (opencl/main.cpp --list-platforms analogue)")
+    p.add_argument("--platform", default=None,
+                   help="select backend platform by case-insensitive name "
+                        "substring (opencl/main.cpp --platform analogue)")
     p.add_argument("--list-devices", action="store_true",
                    help="list accelerator devices and exit")
     p.add_argument("--device", default=None,
@@ -84,22 +87,44 @@ def main(argv: Optional[list] = None) -> int:
 
     import jax
 
-    if args.list_platforms:
+    def platforms():
+        """Available backend platforms: the default backend plus the
+        always-present CPU host backend (the TPU analogue of the CL
+        platform list, opencl/main.cpp:452-476)."""
         seen = []
         for d in jax.devices():
             if d.platform not in seen:
                 seen.append(d.platform)
-        for i, pname in enumerate(seen):
+        if "cpu" not in seen:
+            seen.append("cpu")
+        return seen
+
+    if args.list_platforms:
+        for i, pname in enumerate(platforms()):
             print(f"{i}: {pname}")
         return 0
+
+    # platform select by case-insensitive name substring, first match —
+    # mirrors opencl/main.cpp:493-538
+    platform = None
+    if args.platform is not None:
+        matches = [n for n in platforms() if args.platform.lower() in n.lower()]
+        if not matches:
+            print("Platform specified not found.", file=sys.stderr)
+            return 1
+        platform = matches[0]
+        log.info("selected platform %s", platform)
+
     if args.list_devices:
-        for d in jax.devices():
+        for d in jax.devices(platform) if platform else jax.devices():
             print(f"{d.id}: {d.device_kind} ({d.platform})")
         return 0
 
     device = None
+    if platform is not None:
+        device = jax.devices(platform)[0]
     if args.device is not None:
-        devs = jax.devices()
+        devs = jax.devices(platform) if platform else jax.devices()
         if args.device.isdigit():
             idx = int(args.device)
             if idx >= len(devs):
@@ -166,7 +191,11 @@ def main(argv: Optional[list] = None) -> int:
     out = np.asarray(jax.block_until_ready(gen.generate(img2ch)))
     dt = time.perf_counter() - t0
     if args.time_kernel:
-        print(f"Kernel timing: {dt:.3f} sec", file=sys.stderr)
+        # device-compute time only (amortized in-graph loop), matching the
+        # reference's kernel-event profiling rather than wall clock — see
+        # SDFGenerator.kernel_time
+        kt = gen.kernel_time(img2ch)
+        print(f"Kernel timing: {kt:.3f} sec", file=sys.stderr)
     log.info("sdf computed in %.3fs (%s)", dt, cfg.algorithm.value)
 
     try:

@@ -106,6 +106,18 @@ def hard_sdf_jfa(
     return merge.remap_to_byte(vals, spread, asymmetric)
 
 
+def _array_platform(x) -> str:
+    """Platform of the device an array is committed to (falls back to the
+    default backend for numpy inputs / uncommitted arrays)."""
+    try:
+        devs = x.devices()
+        if devs:
+            return next(iter(devs)).platform
+    except Exception:
+        pass
+    return jax.default_backend()
+
+
 class SDFGenerator:
     """Config-driven facade with per-shape jit caching.
 
@@ -118,39 +130,83 @@ class SDFGenerator:
         self._jitted = {}
 
     def generate(self, img2ch) -> jnp.ndarray:
-        cfg = self.config
         img2ch = jnp.asarray(img2ch)
-        key = (cfg, img2ch.shape)
+        key = (self.config, img2ch.shape, _array_platform(img2ch))
         fn = self._jitted.get(key)
         if fn is None:
-            if cfg.algorithm == Algorithm.EXACT:
-                fn = functools.partial(
-                    hard_sdf_exact,
-                    spread=cfg.spread,
-                    asymmetric=cfg.asymmetric,
-                    channel=cfg.channel_offset,
-                    test_above=not cfg.invert,
-                    band=cfg.effective_band,
-                )
-            elif cfg.algorithm == Algorithm.BRUTE:
-                fn = functools.partial(
-                    hard_sdf_brute,
-                    spread=cfg.spread,
-                    asymmetric=cfg.asymmetric,
-                    use_luminance=(cfg.channel_offset == 0),
-                    invert=cfg.invert,
-                )
-            elif cfg.algorithm == Algorithm.JFA:
-                fn = functools.partial(
-                    hard_sdf_jfa,
-                    spread=cfg.spread,
-                    asymmetric=cfg.asymmetric,
-                    channel=cfg.channel_offset,
-                    test_above=not cfg.invert,
-                    plus_one=cfg.jfa_plus_one,
-                )
-            else:  # pragma: no cover
-                raise ValueError(f"unknown algorithm {cfg.algorithm}")
-            fn = jax.jit(fn)
+            fn = jax.jit(self._pipeline_fn(platform=_array_platform(img2ch)))
             self._jitted[key] = fn
         return fn(img2ch)
+
+    def _pipeline_fn(self, platform: Optional[str] = None):
+        """The raw (unjitted) pipeline for the current config.
+
+        ``platform`` is where the computation will actually run (the
+        input's committed device — may differ from the default backend
+        when the CLI's --platform/--device route to another backend);
+        it gates the Pallas-vs-XLA core selection."""
+        cfg = self.config
+        if platform is None:
+            platform = jax.default_backend()
+        if cfg.algorithm == Algorithm.EXACT:
+            return functools.partial(
+                hard_sdf_exact,
+                spread=cfg.spread,
+                asymmetric=cfg.asymmetric,
+                channel=cfg.channel_offset,
+                test_above=not cfg.invert,
+                band=cfg.effective_band,
+                use_pallas=platform in ("tpu", "axon"),
+            )
+        if cfg.algorithm == Algorithm.BRUTE:
+            return functools.partial(
+                hard_sdf_brute,
+                spread=cfg.spread,
+                asymmetric=cfg.asymmetric,
+                use_luminance=(cfg.channel_offset == 0),
+                invert=cfg.invert,
+            )
+        if cfg.algorithm == Algorithm.JFA:
+            return functools.partial(
+                hard_sdf_jfa,
+                spread=cfg.spread,
+                asymmetric=cfg.asymmetric,
+                channel=cfg.channel_offset,
+                test_above=not cfg.invert,
+                plus_one=cfg.jfa_plus_one,
+            )
+        raise ValueError(f"unknown algorithm {cfg.algorithm}")  # pragma: no cover
+
+    def kernel_time(self, img2ch, iters: int = 4) -> float:
+        """Device-compute seconds per pipeline run.
+
+        TPU-native analogue of the reference's CL event profiling
+        (opencl/main.cpp:333-356, CL_PROFILING_COMMAND_START/END): the
+        pipeline runs `iters` times inside ONE jitted program (input
+        varied per iteration so XLA cannot fold the loop) with a scalar
+        readback, which amortizes per-dispatch host overhead away and
+        times only device compute — unlike wall-clocking one dispatch,
+        which on a remote tunnel is dominated by transfer/dispatch cost.
+        """
+        import time
+
+        img2ch = jnp.asarray(img2ch)
+        fn = self._pipeline_fn(platform=_array_platform(img2ch))
+
+        @jax.jit
+        def many(x):
+            def body(i, acc):
+                # flip the LSB on odd iterations: changes the input hash
+                # without changing the workload shape
+                o = fn(jnp.bitwise_xor(x, (i % 2).astype(x.dtype)))
+                return acc + jnp.sum(o.astype(jnp.int32))
+
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+        int(many(img2ch))  # warm-up: compile + first run
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            int(many(img2ch))
+            best = min(best, time.perf_counter() - t0)
+        return best / iters

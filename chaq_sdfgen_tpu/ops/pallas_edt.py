@@ -321,6 +321,106 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def row_distances_u8(
+    b: jnp.ndarray, band: int, interpret: bool | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pass 1 only: (H, W) bool -> (din, dout) uint8 (H, W) per-row
+    nearest-seed / nearest-non-seed distances, clipped at min(band+1, 255).
+
+    Exposed separately so sharded pipelines can run pass 1 locally per
+    shard (rows never cross shards, like the omp-for axis of
+    openmp/df.c:113-117), exchange a band-row halo of the u8 strips over
+    ICI, and feed fused_pass2_bytes the pre-extended strips."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    h, w = b.shape
+    hp = _round_up(h, 8)
+    wp = _round_up(w, 128)
+    # transposed image: the scan rides sublanes; see _row_pass_sweep_kernel
+    hpa = _round_up(hp, 128)
+    b_t = jnp.pad(b.astype(jnp.uint8), ((0, hpa - h), (0, wp - w))).T  # (wp, hpa)
+    tn1 = 128
+    kern_a = functools.partial(
+        _row_pass_sweep_kernel, w_rows=wp, w_actual=w, band=band
+    )
+    din_t, dout_t = pl.pallas_call(
+        kern_a,
+        grid=(hpa // tn1,),
+        in_specs=[pl.BlockSpec((wp, tn1), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((wp, tn1), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, tn1), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((wp, hpa), jnp.uint8),
+            jax.ShapeDtypeStruct((wp, hpa), jnp.uint8),
+        ],
+        scratch_shapes=[pltpu.VMEM((wp, 2 * tn1), jnp.int32)],
+        interpret=interpret,
+    )(b_t)
+    return din_t.T[:h, :w], dout_t.T[:h, :w]
+
+
+def fused_pass2_bytes(
+    din_ext: jnp.ndarray,
+    dout_ext: jnp.ndarray,
+    spread: int,
+    asymmetric: bool,
+    band: int,
+    interpret: bool | None = None,
+    adaptive: bool = True,
+) -> jnp.ndarray:
+    """Kernel B on pre-extended strips: (H + 2*band, W) uint8 row-distance
+    strips (boundary sentinel 255 or an exchanged shard halo) -> (H, W)
+    uint8 final bytes. H must be a multiple of 8 (sublane alignment of the
+    in-kernel chunking)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    hext, w = din_ext.shape
+    hp = hext - 2 * band
+    if hp % 8 != 0:
+        raise ValueError(f"fused_pass2_bytes: H = {hp} must be a multiple of 8")
+    sat = 255
+    wp = _round_up(w, 128)
+    tn = _pick_tn(hp, band, wp)
+    wp = _round_up(wp, tn)
+    if wp != w:
+        din_ext = jnp.pad(din_ext, ((0, 0), (0, wp - w)), constant_values=sat)
+        dout_ext = jnp.pad(dout_ext, ((0, 0), (0, wp - w)), constant_values=sat)
+
+    if adaptive:
+        kern_b = functools.partial(
+            _fused_kernel_adaptive, band=band, h=hp, spread=spread, asymmetric=asymmetric
+        )
+        extra_scratch = [
+            pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),  # chunk accumulator
+            pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),  # d_in hold
+            pltpu.SMEM((4,), jnp.float32),              # strip minima + chunk max
+        ]
+    else:
+        kern_b = functools.partial(
+            _fused_kernel, band=band, h=hp, spread=spread, asymmetric=asymmetric,
+            sq_dtype=jnp.float32,
+        )
+        extra_scratch = []
+    out = pl.pallas_call(
+        kern_b,
+        grid=(wp // tn,),
+        in_specs=[
+            pl.BlockSpec((hp + 2 * band, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp + 2 * band, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((hp, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((hp + 2 * band, tn), jnp.float32),
+            pltpu.VMEM((hp + 2 * band, tn), jnp.float32),
+        ] + extra_scratch,
+        interpret=interpret,
+    )(din_ext, dout_ext)
+    return out[:, :w]
+
+
 @functools.partial(
     jax.jit, static_argnames=("spread", "asymmetric", "band", "interpret", "adaptive")
 )
@@ -358,77 +458,14 @@ def fused_sdf_bytes(
         return merge.remap_to_byte(merge.signed_merge(d_out, d_in), spread, asymmetric)
 
     hp = _round_up(h, 8)
-    wp = _round_up(w, 128)
-
-    # ---- pass 1: per-row nearest-seed distances, both polarities, on the
-    # transposed image (scan rides sublanes; see _row_pass_sweep_kernel) ----
-    hpa = _round_up(hp, 128)
-    b_t = jnp.pad(b.astype(jnp.uint8), ((0, hpa - h), (0, wp - w))).T  # (wp, hpa)
-    tn1 = 128
-    kern_a = functools.partial(
-        _row_pass_sweep_kernel, w_rows=wp, w_actual=w, band=band
-    )
-    din_t, dout_t = pl.pallas_call(
-        kern_a,
-        grid=(hpa // tn1,),
-        in_specs=[pl.BlockSpec((wp, tn1), lambda i: (0, i), memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((wp, tn1), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, tn1), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((wp, hpa), jnp.uint8),
-            jax.ShapeDtypeStruct((wp, hpa), jnp.uint8),
-        ],
-        scratch_shapes=[pltpu.VMEM((wp, 2 * tn1), jnp.int32)],
-        interpret=interpret,
-    )(b_t)
-    din = din_t.T
-    dout = dout_t.T
-
+    din, dout = row_distances_u8(b, band, interpret=interpret)
     # rows beyond the real image must read as saturated for BOTH fields
     # (no pixels exist there); the same pad supplies the band halo.
     sat = 255
     pad = ((band, band + (hp - h)), (0, 0))
-    din = jnp.pad(din[:h], pad, constant_values=sat)
-    dout = jnp.pad(dout[:h], pad, constant_values=sat)
-
-    # ---- kernel B: banded column min-plus + merge + remap ----
-    tn = _pick_tn(hp, band, wp)
-    wp2 = _round_up(wp, tn)
-    if wp2 != wp:
-        din = jnp.pad(din, ((0, 0), (0, wp2 - wp)), constant_values=sat)
-        dout = jnp.pad(dout, ((0, 0), (0, wp2 - wp)), constant_values=sat)
-        wp = wp2
-
-    if adaptive:
-        kern_b = functools.partial(
-            _fused_kernel_adaptive, band=band, h=hp, spread=spread, asymmetric=asymmetric
-        )
-        extra_scratch = [
-            pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),  # chunk accumulator
-            pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),  # d_in hold
-            pltpu.SMEM((4,), jnp.float32),              # strip minima + chunk max
-        ]
-    else:
-        kern_b = functools.partial(
-            _fused_kernel, band=band, h=hp, spread=spread, asymmetric=asymmetric,
-            sq_dtype=jnp.float32,
-        )
-        extra_scratch = []
-    out = pl.pallas_call(
-        kern_b,
-        grid=(wp // tn,),
-        in_specs=[
-            pl.BlockSpec((hp + 2 * band, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp + 2 * band, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((hp, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
-        scratch_shapes=[
-            pltpu.VMEM((hp + 2 * band, tn), jnp.float32),
-            pltpu.VMEM((hp + 2 * band, tn), jnp.float32),
-        ] + extra_scratch,
-        interpret=interpret,
-    )(din, dout)
+    din = jnp.pad(din, pad, constant_values=sat)
+    dout = jnp.pad(dout, pad, constant_values=sat)
+    out = fused_pass2_bytes(
+        din, dout, spread, asymmetric, band, interpret=interpret, adaptive=adaptive
+    )
     return out[:h, :w]

@@ -1,0 +1,662 @@
+"""Fully-fused Pallas TPU pipeline for the soft (differentiable) SDF.
+
+Round-2 redesign of the soft path (the reference has no soft analogue;
+BASELINE config 4 defines it). The composed path (ops/softsdf.py +
+ops/pallas_soft.py) spends more time in XLA glue — height elementwise
+passes, layout transposes, concats, the sqrt/merge tail — than in the
+band kernels themselves. Here the whole fwd+bwd runs as FOUR Pallas
+kernels with every transpose fused into a kernel (in-VMEM transposes
+cost ~a copy on v5e; a round-tripped XLA transpose costs ~4 ms at 4K):
+
+  F1  gray (H,W) --> S1cat (both fields' pass-1 soft-min, natural
+      layout, bf16, sentinel halo blocks built in) + logitsT (bf16,
+      transposed threshold logits, the bwd's compact residual).
+      Reads gray row-blocks, transposes in VMEM, computes heights
+      h = T*softplus(-+l) on the fly, runs the adaptive banded soft-min
+      along x, transposes the result back per chunk.
+
+  F2  S1cat --> field (H,W) f32. Column strips; adaptive soft-min along
+      y for both fields plus the fused tail d = sqrt(relu(d2)+eps),
+      field = d_out - relu(d_in - 1). No residual output: the backward
+      recomputes d2 windows (cheaper than a 2x134 MB f32 round trip).
+
+  B2  (S1cat, ct) --> dS1T (transposed, bf16, zero halo slabs).
+      Per column strip: recompute d2 over chunk+-band windows (bit-equal
+      to F2's values: the adaptive skips only elide exact no-ops), apply
+      the tail's chain rule inline, then the banded softmax-weight pass;
+      the output slab is transposed in VMEM so B1 never transposes reads.
+
+  B1  (logitsT, dS1T) --> dgray (H,W) f32. Recomputes heights and the
+      pass-1 soft-min (f32, bit-equal to F1) for exactly-normalized
+      weights, runs the weight pass against dS1T, applies the
+      heights/threshold chain rule, accumulates both fields, and
+      transposes the final gradient back to natural layout.
+
+Numerics: all band math is f32 in VMEM. S1/dS1/logits cross HBM as bf16;
+the fwd consumes the SAME rounded S1 the bwd differentiates through, so
+softmax weights stay exactly normalized (rounding is handled as a
+straight-through pass, standard mixed-precision practice). d2 and S1 are
+recomputed rather than rounded wherever they normalize an exp.
+
+Both adaptive phases use per-64-row segment min/max tables for their
+skip bounds (see pallas_soft._softmin_fwd_kernel): work is skipped only
+when it provably cannot change the f32 result (the TPU-native analogue
+of the reference search's bound shrinking, opencl/sdf.cl:66-69).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TM = 128  # row-block height (F1/B1 grid) == lane count of transposed compute
+_TN = 128  # column-strip width (F2/B2 grid)
+_CHUNK = 256  # rows per inner step
+_SEG = 64  # granularity of segment min/max bound tables
+_PAD_H = 1e30  # sentinel height (matches softsdf._PAD_HEIGHT)
+_NEG_HUGE = -3.0e38
+_UNDERFLOW = 104.0  # exp((m - tap)/T) == 0.0f once (tap-m)/T > ~104
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _round_down(x: int, m: int) -> int:
+    return (x // m) * m if x >= 0 else -(((-x) + m - 1) // m) * m
+
+
+def _read_f32(ref, sl):
+    v = ref[sl, :]
+    return v.astype(jnp.float32) if v.dtype != jnp.float32 else v
+
+
+def _softplus(x):
+    # open-coded (jax.nn.softplus lowers via log1p, which Mosaic may not
+    # legalize); the log(1+tiny)->0 rounding only underflows heights that
+    # are ~1e-10 anyway, and gradients use the exact sigmoid form below
+    return jnp.maximum(x, jnp.float32(0.0)) + jnp.log(jnp.float32(1.0) + jnp.exp(-jnp.abs(x)))
+
+
+def _sigmoid(x):
+    return jnp.float32(1.0) / (jnp.float32(1.0) + jnp.exp(-x))
+
+
+# --------------------------------------------------------------------------
+# shared in-kernel helpers.  Geometry convention: extended-g tap row k for
+# output row q lives at ref row  off + q + k,  k in [0, 2*band];
+# `off` static, `q` chunk starts 8-aligned.
+# --------------------------------------------------------------------------
+
+
+def _build_seg_min(ref, seg_ref, nrows, *, seg0=0):
+    nseg = (nrows + _SEG - 1) // _SEG
+    for s in range(nseg):
+        v = _read_f32(ref, slice(s * _SEG, min((s + 1) * _SEG, nrows)))
+        seg_ref[seg0 + s] = jnp.min(v)
+    return nseg
+
+
+def _win_min(seg_ref, lo_row: int, hi_row: int, nrows: int, *, seg0=0):
+    lo_s = max(lo_row, 0) // _SEG
+    hi_s = (min(hi_row, nrows) + _SEG - 1) // _SEG
+    m = seg_ref[seg0 + lo_s]
+    for s in range(lo_s + 1, hi_s):
+        m = jnp.minimum(m, seg_ref[seg0 + s])
+    return m
+
+
+def _chunk_softmin(ref, off, r, rc, band, t, seg_ref, nrows, sm_ref, acc_ref, *, seg0=0):
+    """Adaptive banded soft-min for output rows [r, r+rc) (r 8-aligned):
+    returns the (rc, lanes) f32 chunk of
+      m - T log sum_k exp((m - (k-band)^2 - g_ext[q+k]) / T).
+    ref must be valid on rows [off + r, off + r + rc + 2*band + 16)."""
+    inv_t = jnp.float32(1.0 / t)
+    tf = jnp.float32(t)
+    n_groups_a = (band + 7) // 8
+
+    # ---- phase A: adaptive hard band-min, |dy| groups center-out ----
+    acc = _read_f32(ref, slice(off + r + band, off + r + band + rc))
+    for dy in range(1, min(8, band) + 1):
+        pair = jnp.minimum(
+            _read_f32(ref, slice(off + r + band - dy, off + r + band - dy + rc)),
+            _read_f32(ref, slice(off + r + band + dy, off + r + band + dy + rc)),
+        )
+        acc = jnp.minimum(acc, pair + jnp.float32(dy * dy))
+    acc_ref[0:rc, :] = acc
+    sm_ref[0] = jnp.max(acc)
+    for k in range(1, n_groups_a):
+        dylo = 8 * k + 1
+        dyhi = min(8 * (k + 1), band)
+        wmin = jnp.minimum(
+            _win_min(seg_ref, off + r + band - dyhi, off + r + band - dylo + rc, nrows, seg0=seg0),
+            _win_min(seg_ref, off + r + band + dylo, off + r + band + dyhi + rc, nrows, seg0=seg0),
+        )
+        lb = jnp.float32(dylo * dylo) + wmin
+
+        @pl.when(lb < sm_ref[0])
+        def _():
+            a = acc_ref[0:rc, :]
+            for dy in range(dylo, dyhi + 1):
+                pair = jnp.minimum(
+                    _read_f32(ref, slice(off + r + band - dy, off + r + band - dy + rc)),
+                    _read_f32(ref, slice(off + r + band + dy, off + r + band + dy + rc)),
+                )
+                a = jnp.minimum(a, pair + jnp.float32(dy * dy))
+            acc_ref[0:rc, :] = a
+            sm_ref[0] = jnp.max(a)
+
+    m = acc_ref[0:rc, :]
+    thresh = sm_ref[0] + jnp.float32(_UNDERFLOW) * tf
+
+    # ---- phase B: adaptive exp-sum, 8-tap groups, aligned slabs ----
+    n_groups = (2 * band + 1 + 7) // 8
+    delta = off % 8
+    al = off - delta
+    lanes = m.shape[1]
+    nseg = (nrows + _SEG - 1) // _SEG
+
+    def taps(j, s):
+        base = pl.multiple_of(al + r + 8 * j, 8)
+        blk = ref[pl.ds(base, rc + 16), :]
+        if blk.dtype != jnp.float32:
+            blk = blk.astype(jnp.float32)
+        for i in range(8):
+            k = jnp.float32(8.0) * j.astype(jnp.float32) + jnp.float32(i)
+            dy = k - jnp.float32(band)
+            pen = jnp.where(k <= jnp.float32(2 * band), dy * dy, jnp.float32(3e38))
+            s = s + jnp.exp((m - blk[delta + i : delta + i + rc, :] - pen) * inv_t)
+        return s
+
+    def group(j, s):
+        kf = jnp.float32(8.0) * j.astype(jnp.float32)
+        lo1 = jnp.abs(kf - jnp.float32(band))
+        lo2 = jnp.abs(kf + jnp.float32(7.0) - jnp.float32(band))
+        straddles = jnp.logical_and(kf <= jnp.float32(band), jnp.float32(band) < kf + 8.0)
+        dymin = jnp.where(straddles, jnp.float32(0.0), jnp.minimum(lo1, lo2))
+        lo_s = jnp.maximum(off + r + 8 * j, 0) // jnp.int32(_SEG)
+        hi_s = jnp.minimum((off + r + 8 * j + 8 + rc + _SEG - 1) // jnp.int32(_SEG), nseg)
+        wmin = jax.lax.fori_loop(
+            lo_s, hi_s, lambda ss, mv: jnp.minimum(mv, seg_ref[seg0 + ss]), jnp.float32(3e38)
+        )
+        lb = dymin * dymin + wmin
+        return jax.lax.cond(lb <= thresh, lambda a: taps(j, a), lambda a: a, s)
+
+    ssum = jax.lax.fori_loop(0, n_groups, group, jnp.zeros((rc, lanes), jnp.float32))
+    return m - tf * jnp.log(ssum)
+
+
+def _chunk_weight_sum(s_ref, v_ref, off, r, rc, band, t, g_chunk, segmax_ref, nrows, *, seg0=0):
+    """Banded softmax-weight pass for output rows [r, r+rc) (r 8-aligned):
+      out[p] = sum_k exp((S[row] - (k-band)^2 - g[p]) / T) * V[row],
+      row = off + p + k,  k in [0, 2*band].
+    segmax_ref: per-_SEG maxima of s_ref rows (underflow skip bound)."""
+    inv_t = jnp.float32(1.0 / t)
+    tf = jnp.float32(t)
+    n_groups = (2 * band + 1 + 7) // 8
+    delta = off % 8
+    al = off - delta
+    lanes = g_chunk.shape[1]
+    g_min = jnp.min(g_chunk)
+    nseg = (nrows + _SEG - 1) // _SEG
+
+    def taps(j, s):
+        base = pl.multiple_of(al + r + 8 * j, 8)
+        sblk = s_ref[pl.ds(base, rc + 16), :]
+        vblk = v_ref[pl.ds(base, rc + 16), :]
+        if sblk.dtype != jnp.float32:
+            sblk = sblk.astype(jnp.float32)
+        if vblk.dtype != jnp.float32:
+            vblk = vblk.astype(jnp.float32)
+        for i in range(8):
+            k = jnp.float32(8.0) * j.astype(jnp.float32) + jnp.float32(i)
+            dy = k - jnp.float32(band)
+            pen = jnp.where(k <= jnp.float32(2 * band), dy * dy, jnp.float32(3e38))
+            st = sblk[delta + i : delta + i + rc, :]
+            vt = vblk[delta + i : delta + i + rc, :]
+            w = jnp.exp((st - pen - g_chunk) * inv_t)
+            s = s + w * vt
+        return s
+
+    def group(j, s):
+        kf = jnp.float32(8.0) * j.astype(jnp.float32)
+        lo1 = jnp.abs(kf - jnp.float32(band))
+        lo2 = jnp.abs(kf + jnp.float32(7.0) - jnp.float32(band))
+        straddles = jnp.logical_and(kf <= jnp.float32(band), jnp.float32(band) < kf + 8.0)
+        dymin = jnp.where(straddles, jnp.float32(0.0), jnp.minimum(lo1, lo2))
+        lo_s = jnp.maximum(off + r + 8 * j, 0) // jnp.int32(_SEG)
+        hi_s = jnp.minimum((off + r + 8 * j + 8 + rc + _SEG - 1) // jnp.int32(_SEG), nseg)
+        wmax = jax.lax.fori_loop(
+            lo_s, hi_s, lambda ss, mv: jnp.maximum(mv, segmax_ref[seg0 + ss]), jnp.float32(_NEG_HUGE)
+        )
+        # any w > 0 in this group requires pen <= max S - min g + 104T
+        lb_ok = dymin * dymin <= wmax - g_min + jnp.float32(_UNDERFLOW) * tf
+        return jax.lax.cond(lb_ok, lambda a: taps(j, a), lambda a: a, s)
+
+    return jax.lax.fori_loop(0, n_groups, group, jnp.zeros((rc, lanes), jnp.float32))
+
+
+def _transpose_into(dst_ref, src, col0):
+    """dst[:, col0:col0+rows(src)] = src.T, in 512-row chunks."""
+    rows = src.shape[0]
+    for c in range(0, rows, 512):
+        cc = min(512, rows - c)
+        dst_ref[:, col0 + c : col0 + c + cc] = src[c : c + cc, :].T.astype(dst_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# F1: gray -> S1cat (+ logitsT)
+# --------------------------------------------------------------------------
+
+
+def _f1_kernel(
+    gray_ref, s1cat_ref, logitsT_ref, xt_ref, hs_ref, acc_ref, seg_ref, sm_ref,
+    *, band, w, wl, nb, h_real, tau, temperature, test_above,
+):
+    i = pl.program_id(0)
+    f = pl.program_id(1)
+    sentinel = jnp.logical_or(i == 0, i == nb + 1)
+
+    @pl.when(sentinel)
+    def _():
+        s1cat_ref[:, :] = jnp.full(s1cat_ref.shape, _PAD_H, s1cat_ref.dtype)
+
+    @pl.when(jnp.logical_not(sentinel))
+    def _():
+        sgn0 = 1.0 if test_above else -1.0
+
+        @pl.when(f == 0)
+        def _():
+            # transpose gray into xt as sign-folded logits; store bf16 copy
+            for c in range(0, wl, 512):
+                cc = min(512, wl - c)
+                blk = gray_ref[:, c : c + cc].T  # (cc, TM)
+                xt_ref[c : c + cc, :] = (blk - jnp.float32(127.5)) * jnp.float32(sgn0 / tau)
+            logitsT_ref[:, :] = xt_ref[:, :].astype(logitsT_ref.dtype)
+
+        # heights strip for field f (f=0: seeds on): h = T*softplus(-l)
+        sgn = jnp.where(f == 0, jnp.float32(1.0), jnp.float32(-1.0))
+        e1 = hs_ref.shape[0]
+        hs_ref[:, :] = jnp.full(hs_ref.shape, _PAD_H, jnp.float32)
+        for c in range(0, w, 512):
+            cc = min(512, w - c)
+            l = xt_ref[c : c + cc, :] * sgn
+            h = jnp.float32(temperature) * _softplus(-l)
+            hs_ref[band + c : band + c + cc, :] = jnp.minimum(h, jnp.float32(_PAD_H))
+
+        nseg = _build_seg_min(hs_ref, seg_ref, e1)
+        del nseg
+        # lanes are image rows y = (i-1)*TM + lane; pad rows y >= h_real
+        # must leave sentinel S1 (their gray is padding, not pixels)
+        y0 = (i - 1) * jnp.int32(_TM)
+        for r in range(0, wl, _CHUNK):
+            rc = min(_CHUNK, wl - r)
+            s1 = _chunk_softmin(
+                hs_ref, 0, r, rc, band, temperature, seg_ref, e1, sm_ref, acc_ref
+            )
+            lane_y = jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1) + y0
+            s1 = jnp.where(lane_y < jnp.int32(h_real), s1, jnp.float32(_PAD_H))
+            _transpose_into(s1cat_ref, s1, r)
+
+
+def f1_pass(gray_p, w_real, h_real, band, tau, temperature, test_above, s1_dtype, interpret):
+    """gray_p: (Hp, WL) f32 padded.  Returns (s1cat ((nb+2)*TM, 2*WL)
+    s1_dtype with TM-row sentinel halo blocks top+bottom, logitsT
+    (WL, Hp) bf16)."""
+    hp, wl = gray_p.shape
+    nb = hp // _TM
+    e1 = _round_up(2 * band + wl + 24, 8)
+    nseg = (e1 + _SEG - 1) // _SEG
+    kern = functools.partial(
+        _f1_kernel, band=band, w=w_real, wl=wl, nb=nb, h_real=h_real, tau=tau,
+        temperature=temperature, test_above=test_above,
+    )
+    s1cat, logitsT = pl.pallas_call(
+        kern,
+        grid=(nb + 2, 2),
+        in_specs=[
+            pl.BlockSpec(
+                (_TM, wl),
+                lambda i, f: (jnp.clip(i - 1, 0, nb - 1), 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=[
+            pl.BlockSpec((_TM, wl), lambda i, f: (i, f), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (wl, _TM),
+                lambda i, f: (0, jnp.clip(i - 1, 0, nb - 1)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(((nb + 2) * _TM, 2 * wl), s1_dtype),
+            jax.ShapeDtypeStruct((wl, hp), jnp.bfloat16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((wl, _TM), jnp.float32),
+            pltpu.VMEM((e1, _TM), jnp.float32),
+            pltpu.VMEM((_CHUNK, _TM), jnp.float32),
+            pltpu.SMEM((nseg,), jnp.float32),
+            pltpu.SMEM((2,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(gray_p)
+    return s1cat, logitsT
+
+
+# --------------------------------------------------------------------------
+# F2: S1cat -> field
+# --------------------------------------------------------------------------
+
+
+def _f2_kernel(sin_ref, sout_ref, field_ref, acc_ref, seg_ref, sm_ref, *, band, hp, eps, temperature):
+    rrows = sin_ref.shape[0]
+    off = _TM - band
+    n_in = _build_seg_min(sin_ref, seg_ref, rrows, seg0=0)
+    _build_seg_min(sout_ref, seg_ref, rrows, seg0=n_in)
+    e = jnp.float32(eps)
+    for r in range(0, hp, _CHUNK):
+        rc = min(_CHUNK, hp - r)
+        d2i = _chunk_softmin(
+            sin_ref, off, r, rc, band, temperature, seg_ref, rrows, sm_ref, acc_ref, seg0=0
+        )
+        d2o = _chunk_softmin(
+            sout_ref, off, r, rc, band, temperature, seg_ref, rrows, sm_ref, acc_ref, seg0=n_in
+        )
+        d_in = jnp.sqrt(jnp.maximum(d2i, 0) + e)
+        d_out = jnp.sqrt(jnp.maximum(d2o, 0) + e)
+        field_ref[r : r + rc, :] = d_out - jnp.maximum(d_in - jnp.float32(1.0), jnp.float32(0.0))
+
+
+def f2_pass(s1cat, hp, band, temperature, eps, interpret):
+    rrows, twl = s1cat.shape
+    wl = twl // 2
+    nw = wl // _TN
+    nseg = (rrows + _SEG - 1) // _SEG
+    kern = functools.partial(_f2_kernel, band=band, hp=hp, eps=eps, temperature=temperature)
+    return pl.pallas_call(
+        kern,
+        grid=(nw,),
+        in_specs=[
+            pl.BlockSpec((rrows, _TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rrows, _TN), lambda j: (0, j + nw), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((hp, _TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wl), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_CHUNK, _TN), jnp.float32),
+            pltpu.SMEM((2 * nseg,), jnp.float32),
+            pltpu.SMEM((2,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(s1cat, s1cat)
+
+
+# --------------------------------------------------------------------------
+# B2: (S1cat, ct) -> dS1T (transposed, zero halo slabs)
+# --------------------------------------------------------------------------
+
+
+def _b2_kernel(
+    s1_ref, ct_ref, ds1t_ref, d2w_ref, ct2w_ref, acc_ref, seg_ref, segw_ref, sm_ref,
+    *, band, hp, eps, temperature, npad, nw,
+):
+    jj = pl.program_id(0)
+    f = pl.program_id(1)
+    edge = jnp.logical_or(jj < npad, jj >= npad + nw)
+
+    @pl.when(edge)
+    def _():
+        ds1t_ref[:, :] = jnp.zeros(ds1t_ref.shape, ds1t_ref.dtype)
+
+    @pl.when(jnp.logical_not(edge))
+    def _():
+        rrows = s1_ref.shape[0]
+        off = _TM - band
+        e = jnp.float32(eps)
+        nseg = _build_seg_min(s1_ref, seg_ref, rrows)
+        del nseg
+        wrows = d2w_ref.shape[0]
+        for r in range(0, hp, _CHUNK):
+            rc = min(_CHUNK, hp - r)
+            # ---- recompute d2 over window q in [r-band, r+rc+band) n [0,hp),
+            # stored at scratch row q - w0 (w0 8-aligned, possibly < 0) ----
+            w0 = _round_down(r - band, 8)
+            q_start = max(w0, 0)
+            q_end = min(_round_up(r + rc + band, 8), hp)
+            v0 = q_start - w0
+            d2w_ref[:, :] = jnp.full(d2w_ref.shape, _NEG_HUGE, jnp.float32)
+            ct2w_ref[:, :] = jnp.zeros(ct2w_ref.shape, jnp.float32)
+            for rr in range(0, q_end - q_start, _CHUNK):
+                rrc = min(_CHUNK, q_end - q_start - rr)
+                d2 = _chunk_softmin(
+                    s1_ref, off, q_start + rr, rrc, band, temperature,
+                    seg_ref, rrows, sm_ref, acc_ref,
+                )
+                d2w_ref[v0 + rr : v0 + rr + rrc, :] = d2
+                d = jnp.sqrt(jnp.maximum(d2, 0) + e)
+                ct = ct_ref[q_start + rr : q_start + rr + rrc, :]
+                # tail chain rule through d = sqrt(max(d2,0)+eps):
+                # the max clips the gradient to 0 where d2 <= 0 (soft-min
+                # dips below 0 at seeds: -T log(#near-equal taps));
+                # f=0 (inside): -ct * 1{d>1} * 0.5/d;  f=1: ct * 0.5/d
+                half = jnp.where(d2 > jnp.float32(0.0), jnp.float32(0.5) / d, jnp.float32(0.0))
+                g_in = -ct * jnp.where(d > jnp.float32(1.0), half, jnp.float32(0.0))
+                g_out = ct * half
+                ct2w_ref[v0 + rr : v0 + rr + rrc, :] = jnp.where(f == 0, g_in, g_out)
+            # segment maxima of the window's d2 (for the skip bound)
+            nsw = (wrows + _SEG - 1) // _SEG
+            for s in range(nsw):
+                segw_ref[s] = jnp.max(d2w_ref[s * _SEG : min((s + 1) * _SEG, wrows), :])
+            # ---- weight pass: scratch row of (p, k) = p + (k-band) - w0
+            #      = off_w + p + k with off_w = -w0 - 2*band... (k = dy+band):
+            #      row = p + dy - w0 = (-w0 - band) + p + (dy + band)
+            g_chunk = _read_f32(s1_ref, slice(_TM + r, _TM + r + rc))
+            ds1 = _chunk_weight_sum(
+                d2w_ref, ct2w_ref, -w0 - band, r, rc, band, temperature,
+                g_chunk, segw_ref, wrows,
+            )
+            _transpose_into(ds1t_ref, ds1, r)
+
+
+def b2_pass(s1cat, ct_p, band, temperature, eps, interpret):
+    rrows, twl = s1cat.shape
+    wl = twl // 2
+    hp = ct_p.shape[0]
+    nw = wl // _TN
+    ph = _round_up(2 * band + 24, _TN)
+    npad = ph // _TN
+    nj = nw + 2 * npad
+    wrows = _round_up(_CHUNK + 2 * band + 32, 8)
+    nseg = (rrows + _SEG - 1) // _SEG
+    nsw = (wrows + _SEG - 1) // _SEG
+    kern = functools.partial(
+        _b2_kernel, band=band, hp=hp, eps=eps, temperature=temperature, npad=npad, nw=nw
+    )
+    ds1t = pl.pallas_call(
+        kern,
+        grid=(nj, 2),
+        in_specs=[
+            pl.BlockSpec(
+                (rrows, _TN),
+                lambda jj, f: (0, f * nw + jnp.clip(jj - npad, 0, nw - 1)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (hp, _TN),
+                lambda jj, f: (0, jnp.clip(jj - npad, 0, nw - 1)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TN, hp), lambda jj, f: (f * nj + jj, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2 * nj * _TN, hp), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((wrows, _TN), jnp.float32),
+            pltpu.VMEM((wrows, _TN), jnp.float32),
+            pltpu.VMEM((_CHUNK, _TN), jnp.float32),
+            pltpu.SMEM((nseg,), jnp.float32),
+            pltpu.SMEM((nsw,), jnp.float32),
+            pltpu.SMEM((2,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(s1cat, ct_p)
+    return ds1t, ph
+
+
+# --------------------------------------------------------------------------
+# B1: (logitsT, dS1T) -> dgray
+# --------------------------------------------------------------------------
+
+
+def _b1_kernel(
+    logitsT_ref, ds1t_ref, dgray_ref, hs_ref, s1t_ref, dlacc_ref, acc_ref, seg_ref, segx_ref, sm_ref,
+    *, band, w, wl, ph, tau, temperature, test_above,
+):
+    f = pl.program_id(1)
+    tf = jnp.float32(temperature)
+    sgn0 = 1.0 if test_above else -1.0
+    sgn = jnp.where(f == 0, jnp.float32(1.0), jnp.float32(-1.0))
+    e1 = hs_ref.shape[0]
+    prows = s1t_ref.shape[0]
+
+    # heights strip (extended, sentinel-padded) from stored logits
+    hs_ref[:, :] = jnp.full(hs_ref.shape, _PAD_H, jnp.float32)
+    for c in range(0, w, 512):
+        cc = min(512, w - c)
+        l = logitsT_ref[c : c + cc, :].astype(jnp.float32) * sgn
+        h = tf * _softplus(-l)
+        hs_ref[band + c : band + c + cc, :] = jnp.minimum(h, jnp.float32(_PAD_H))
+
+    # recompute S1 (f32, bit-equal to F1's internal values)
+    _build_seg_min(hs_ref, seg_ref, e1)
+    s1t_ref[:, :] = jnp.full(s1t_ref.shape, _NEG_HUGE, jnp.float32)
+    for r in range(0, wl, _CHUNK):
+        rc = min(_CHUNK, wl - r)
+        s1t_ref[ph + r : ph + r + rc, :] = _chunk_softmin(
+            hs_ref, 0, r, rc, band, temperature, seg_ref, e1, sm_ref, acc_ref
+        )
+
+    # segment maxima of recomputed S1 (skip bounds for the weight pass)
+    nsx = (prows + _SEG - 1) // _SEG
+    for s in range(nsx):
+        segx_ref[s] = jnp.max(s1t_ref[s * _SEG : min((s + 1) * _SEG, prows), :])
+
+    # weight pass + heights/threshold chain rule, accumulated over fields
+    for r in range(0, wl, _CHUNK):
+        rc = min(_CHUNK, wl - r)
+        g_chunk = hs_ref[band + r : band + r + rc, :]
+        dh = _chunk_weight_sum(
+            s1t_ref, ds1t_ref, ph - band, r, rc, band, temperature,
+            g_chunk, segx_ref, prows,
+        )
+        l = logitsT_ref[r : r + rc, :].astype(jnp.float32) * sgn
+        sig = _sigmoid(-l)
+        # h = min(T*softplus(-l), PAD_H); dh/dl = -T*sigmoid(-l) if not clipped
+        live = g_chunk < jnp.float32(_PAD_H)
+        dl = jnp.where(live, dh * (-tf) * sig, jnp.float32(0.0))
+        # l = sgn * sgn0 * (v - 127.5)/tau  ->  dv = dl * sgn * sgn0 / tau
+        dv = dl * (sgn * jnp.float32(sgn0 / tau))
+        prev = jnp.where(f == 0, jnp.zeros_like(dv), dlacc_ref[r : r + rc, :])
+        dlacc_ref[r : r + rc, :] = prev + dv
+
+    @pl.when(f == 1)
+    def _():
+        _transpose_into(dgray_ref, dlacc_ref[:, :], 0)
+
+
+def b1_pass(logitsT, ds1t, hp, w_real, band, ph, tau, temperature, test_above, interpret):
+    wl = logitsT.shape[0]
+    nb = hp // _TM
+    e1 = _round_up(2 * band + wl + 24, 8)
+    prows = ph + wl + ph
+    nseg = (e1 + _SEG - 1) // _SEG
+    nsx = (prows + _SEG - 1) // _SEG
+    kern = functools.partial(
+        _b1_kernel, band=band, w=w_real, wl=wl, ph=ph, tau=tau,
+        temperature=temperature, test_above=test_above,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(nb, 2),
+        in_specs=[
+            pl.BlockSpec((wl, _TM), lambda i, f: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((prows, _TM), lambda i, f: (f, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TM, wl), lambda i, f: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wl), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((e1, _TM), jnp.float32),
+            pltpu.VMEM((prows, _TM), jnp.float32),
+            pltpu.VMEM((wl, _TM), jnp.float32),
+            pltpu.VMEM((_CHUNK, _TM), jnp.float32),
+            pltpu.SMEM((nseg,), jnp.float32),
+            pltpu.SMEM((nsx,), jnp.float32),
+            pltpu.SMEM((2,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(logitsT, ds1t)
+
+
+# --------------------------------------------------------------------------
+# public entry: custom-VJP fused soft field
+# --------------------------------------------------------------------------
+
+
+def fused_ok(gray: jnp.ndarray, band: int) -> bool:
+    """Gate for the fused pipeline: 2-D, band within the halo-block
+    geometry, running on real TPU."""
+    return (
+        gray.ndim == 2
+        and band <= _TM - 16
+        and gray.shape[0] >= 2
+        and jax.default_backend() in ("tpu", "axon")
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def soft_sdf_field_fused(gray, band, tau, temperature, eps, test_above, interpret=False):
+    """Fused Pallas soft SDF field: (H, W) gray -> (H, W) f32 signed
+    field. Same math as ops.softsdf.soft_sdf_field (bf16 S1 between
+    passes; see module docstring)."""
+    out, _ = _fused_fwd(gray, band, tau, temperature, eps, test_above, interpret)
+    return out
+
+
+def _fused_fwd(gray, band, tau, temperature, eps, test_above, interpret):
+    h, w = gray.shape
+    hp = _round_up(max(h, _TM), _TM)
+    wl = _round_up(max(w, 128), 128)
+    gray_p = jnp.pad(gray.astype(jnp.float32), ((0, hp - h), (0, wl - w)))
+    s1cat, logitsT = f1_pass(
+        gray_p, w, h, band, tau, temperature, test_above, jnp.bfloat16, interpret
+    )
+    field = f2_pass(s1cat, hp, band, temperature, eps, interpret)
+    return field[:h, :w], (s1cat, logitsT, h, w, hp, wl)
+
+
+def _fused_bwd(band, tau, temperature, eps, test_above, interpret, res, ct):
+    s1cat, logitsT, h, w, hp, wl = res
+    ct_p = jnp.pad(ct.astype(jnp.float32), ((0, hp - h), (0, wl - w)))
+    ds1t, ph = b2_pass(s1cat, ct_p, band, temperature, eps, interpret)
+    dgray = b1_pass(
+        logitsT, ds1t, hp, w, band, ph, tau, temperature, test_above, interpret
+    )
+    return (dgray[:h, :w],)
+
+
+def _fused_fwd_vjp(gray, band, tau, temperature, eps, test_above, interpret):
+    return _fused_fwd(gray, band, tau, temperature, eps, test_above, interpret)
+
+
+soft_sdf_field_fused.defvjp(_fused_fwd_vjp, _fused_bwd)

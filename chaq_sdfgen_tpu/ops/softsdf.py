@@ -24,6 +24,8 @@ As (tau, T) -> 0 the whole pipeline converges to the hard EXACT path.
 from __future__ import annotations
 
 import functools
+import logging
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +33,8 @@ from jax import lax
 
 from chaq_sdfgen_tpu.ops import threshold
 from chaq_sdfgen_tpu.ops.edt import big_sentinel
+
+log = logging.getLogger(__name__)
 
 
 _PAD_HEIGHT = 1e30  # sentinel height: exp(-(d^2+1e30)/T) underflows to 0
@@ -166,6 +170,29 @@ def soft_sdf_field(
     """
     band = band if band is not None else spread + 2
     big = big_sentinel(band)
+    # fused-pipeline dispatch (opt-in via CHAQ_SOFT_FUSED=1 while the
+    # fused bwd still trails the composed path — B2 window recompute;
+    # default flips to on once it wins)
+    if os.environ.get("CHAQ_SOFT_FUSED", "0") != "0":
+        from chaq_sdfgen_tpu.ops import pallas_soft_fused
+
+        g2d = gray if gray.ndim == 2 else gray.reshape(-1, *gray.shape[-2:])[0]
+        if pallas_soft_fused.fused_ok(g2d, band):
+            # custom_vjp nondiff args must stay positional
+            def fn(g):
+                return pallas_soft_fused.soft_sdf_field_fused(
+                    g, band, tau, float(temperature), float(eps), test_above
+                )
+            if gray.ndim == 2:
+                log.debug("soft_sdf_field: fused Pallas pipeline (2-D)")
+                return fn(gray)
+            # batched: vmap the fused custom-VJP over leading axes
+            log.debug("soft_sdf_field: fused Pallas pipeline (vmapped %s)", gray.shape)
+            vfn = fn
+            for _ in range(gray.ndim - 2):
+                vfn = jax.vmap(vfn)
+            return vfn(gray)
+    log.debug("soft_sdf_field: composed XLA/Pallas path (%s)", gray.shape)
     if gray.ndim == 2:
         # 2-D fast path. One input transpose, heights computed in the
         # transposed layout; pass 1 runs per field (a stacked (2W+B, H)

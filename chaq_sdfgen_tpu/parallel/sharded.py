@@ -28,7 +28,8 @@ from chaq_sdfgen_tpu.parallel.halo import exchange_row_halo
 
 
 def _local_hard_bytes(b_blk, spread, asymmetric, band, y_axis):
-    """Per-shard hard EXACT pipeline with halo'd pass 2."""
+    """Per-shard hard EXACT pipeline with halo'd pass 2 (XLA scan cores —
+    the portable path; the Pallas variant below is the TPU perf path)."""
     big = edt.big_sentinel(band)
 
     def field(seeds):
@@ -45,6 +46,24 @@ def _local_hard_bytes(b_blk, spread, asymmetric, band, y_axis):
     return merge.remap_to_byte(vals, spread, asymmetric)
 
 
+def _local_hard_bytes_pallas(b_blk, spread, asymmetric, band, y_axis, interpret):
+    """Per-shard hard EXACT pipeline on the fused Pallas kernels
+    (ops/pallas_edt.py): pass 1 local (rows never cross shards), u8
+    row-distance strips exchange a band-row halo over ICI, and the fused
+    pass-2 kernel consumes the pre-extended strips directly — the same
+    kernels as the single-chip path, so bytes are identical to it
+    (halo rows carry exactly the values the single-chip strip holds at
+    those rows; edge shards read the 255 saturation sentinel)."""
+    from chaq_sdfgen_tpu.ops import pallas_edt
+
+    din, dout = pallas_edt.row_distances_u8(b_blk, band, interpret=interpret)
+    din_ext = exchange_row_halo(din, band, y_axis, 255)
+    dout_ext = exchange_row_halo(dout, band, y_axis, 255)
+    return pallas_edt.fused_pass2_bytes(
+        din_ext, dout_ext, spread, asymmetric, band, interpret=interpret
+    )
+
+
 def sharded_hard_sdf_bytes(
     b: jnp.ndarray,
     spread: int,
@@ -53,20 +72,47 @@ def sharded_hard_sdf_bytes(
     band: Optional[int] = None,
     y_axis: str = "y",
     batch_axis: Optional[str] = None,
+    use_pallas: Optional[bool] = None,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Hard EXACT pipeline over a mesh. b: bool (H, W) or (N, H, W) with H
     divisible by the 'y' mesh axis. Bitwise identical to the single-chip
-    path (same cores, same exact-integer arithmetic)."""
+    path (same cores, same exact-integer arithmetic).
+
+    use_pallas=None auto-selects the fused Pallas kernels whenever the
+    per-shard geometry admits them (8-aligned shard height, u8-range
+    band); pass False to force the portable XLA-scan cores."""
     band = band if band is not None else spread + 2
     if batch_axis is None:
         spec = P(y_axis, None)
     else:
         spec = P(batch_axis, y_axis, None)
 
-    fn = functools.partial(
-        _local_hard_bytes, spread=spread, asymmetric=asymmetric, band=band, y_axis=y_axis
+    n_y = dict(zip(mesh.axis_names, mesh.devices.shape))[y_axis]
+    h_local = b.shape[-2] // n_y
+    if use_pallas is None:
+        use_pallas = h_local % 8 == 0 and h_local > 1 and band + 1 <= 255
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+    if use_pallas:
+        fn = functools.partial(
+            _local_hard_bytes_pallas, spread=spread, asymmetric=asymmetric,
+            band=band, y_axis=y_axis, interpret=interpret,
+        )
+    else:
+        fn = functools.partial(
+            _local_hard_bytes, spread=spread, asymmetric=asymmetric, band=band,
+            y_axis=y_axis,
+        )
+    if batch_axis is not None and use_pallas:
+        inner = fn
+        fn = lambda blk: jax.vmap(inner)(blk)
+    # pallas_call cannot declare how its outputs vary over mesh axes, so
+    # the vma check must be off for the Pallas branch
+    mapped = jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=not use_pallas
     )
-    mapped = jax.shard_map(fn, mesh=mesh, in_specs=(spec,), out_specs=spec)
     return mapped(b)
 
 

@@ -106,6 +106,29 @@ def test_cli_list_platforms(capsys):
     assert capsys.readouterr().out.strip()
 
 
+def test_cli_platform_selection(tmp_path, sample_golden, capsys):
+    # select by case-insensitive name substring (opencl/main.cpp:493-538)
+    out = tmp_path / "plat.png"
+    rc = main(["-i", SAMPLE, "-o", str(out), "-s", "100", "-al", "--platform", "CP"])
+    assert rc == 0
+    np.testing.assert_array_equal(np.asarray(Image.open(out)), sample_golden)
+    # no-match -> reference error message + failure exit
+    assert main(["-i", SAMPLE, "-o", str(out), "--platform", "vulkan"]) == 1
+    assert "Platform specified not found." in capsys.readouterr().err
+    # --list-devices honors the selected platform
+    assert main(["--platform", "cpu", "--list-devices"]) == 0
+    listing = capsys.readouterr().out
+    assert listing.strip() and "cpu" in listing.lower()
+
+
+def test_cli_time_flag_reports_kernel_seconds(tmp_path, capsys):
+    out = tmp_path / "timed.png"
+    rc = main(["-i", SAMPLE, "-o", str(out), "-s", "16", "-l", "--time"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "Kernel timing:" in err and "sec" in err
+
+
 def test_cli_device_selection(tmp_path, sample_golden):
     out = tmp_path / "dev.png"
     rc = main(["-i", SAMPLE, "-o", str(out), "-s", "100", "-al", "--device", "0"])

@@ -49,6 +49,31 @@ def test_sharded_hard_batched_2d_mesh():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("n", [2, 8])
+def test_sharded_hard_pallas_vs_xla_paths_bitwise(n):
+    # the fused-Pallas sharded pipeline (pass 1 local + u8 halo + fused
+    # pass 2) must produce exactly the same bytes as the XLA-scan sharded
+    # path and the single-chip path
+    rng = np.random.default_rng(10 + n)
+    b = rng.random((64, 40)) < 0.35
+    mesh = _mesh1d(n)
+    got_pallas = sharded_hard_sdf_bytes(jnp.asarray(b), 9, mesh, use_pallas=True)
+    got_xla = sharded_hard_sdf_bytes(jnp.asarray(b), 9, mesh, use_pallas=False)
+    want = hard_sdf_exact_from_bool(jnp.asarray(b), 9, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got_pallas), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(got_xla), np.asarray(want))
+
+
+def test_sharded_hard_pallas_band_larger_than_shard():
+    # band 20 over 8-row shards: multi-hop u8 halos feed the fused kernel
+    rng = np.random.default_rng(7)
+    b = rng.random((64, 32)) < 0.3
+    mesh = _mesh1d(8)
+    got = sharded_hard_sdf_bytes(jnp.asarray(b), 18, mesh, use_pallas=True)
+    want = hard_sdf_exact_from_bool(jnp.asarray(b), 18, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_sharded_soft_matches_single_chip():
     rng = np.random.default_rng(2)
     gray = (rng.random((48, 32)) * 255).astype(np.float32)

@@ -97,3 +97,7 @@ class ShardingConfig:
     mesh_shape: Tuple[int, ...] = (1,)
     axis_names: Tuple[str, ...] = ("y",)
     data_axis: Optional[str] = None  # name of the batch axis, if any
+    # halo-exchange implementation for the banded pass-2 stencil:
+    # "ppermute" (XLA collective, the portable default) or "rdma"
+    # (hand-rolled Pallas remote-DMA ring, parallel/pallas_halo.py)
+    halo_impl: str = "ppermute"

@@ -111,13 +111,34 @@ def triangle_nearest_d2(b: jnp.ndarray, spread: int) -> jnp.ndarray:
     return jnp.where(b, d2_to_false, d2_to_true)
 
 
-@functools.partial(jax.jit, static_argnames=("spread", "asymmetric", "invert"))
+@functools.partial(
+    jax.jit, static_argnames=("spread", "asymmetric", "invert", "use_pallas")
+)
 def brute_sdf_bytes(
-    b: jnp.ndarray, spread: int, asymmetric: bool = False, invert: bool = False
+    b: jnp.ndarray,
+    spread: int,
+    asymmetric: bool = False,
+    invert: bool = False,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Thresholded bool grid -> uint8 SDF with the OpenCL kernel's exact
     byte semantics (opencl/sdf.cl:193-224): truncated search, ±INF fallback,
-    decider = invert ^ value, -1 inside bias, clamped remap."""
+    decider = invert ^ value, -1 inside bias, clamped remap.
+
+    On TPU the dy scan runs as a fused Pallas kernel (ops/pallas_brute.py,
+    byte-identical); use_pallas=False forces the portable XLA scan."""
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() in ("tpu", "axon")
+            and spread + 1 <= 255
+            and b.shape[-2] >= 2
+        )
+    if use_pallas:
+        from chaq_sdfgen_tpu.ops import pallas_brute
+
+        return pallas_brute.brute_sdf_bytes_pallas(
+            b, spread, asymmetric=asymmetric, invert=invert
+        )
     d2 = triangle_nearest_d2(b, spread)
     found = d2 <= jnp.int32(spread * spread)
     d = refined_sqrt(d2.astype(jnp.float32))

@@ -1,0 +1,240 @@
+"""Pallas TPU kernel for the BRUTE (OpenCL-parity) pipeline.
+
+The XLA formulation in ops/brute.py is already O(n^2 s) (row-factored
+candidate search instead of the reference's O(n^2 s^2) per-pixel probes,
+opencl/sdf.cl:79-191), but its lax.scan materializes ~5 full-image arrays
+per dy step in HBM. This kernel runs the dy scan entirely in VMEM:
+
+  pass A (XLA): per-row nearest/second-nearest seed distances for both
+      polarities (ops.brute.row_seed_distances), clipped to u8 at
+      sentinel = spread + 1 <= 255.
+  kernel: per column strip, the eight u8 row-distance strips are widened
+      once into i32 VMEM scratch; each output chunk then scans |dy| in
+      8-tap groups from the center outward with the same provable skip
+      bound as the hard EXACT kernel (segment minima of min(l1, r1):
+      a group whose dymin^2 + min_dx^2 cannot beat the chunk's current
+      worst pixel is elided — the TPU-native analogue of the reference
+      search's bound shrinking, opencl/sdf.cl:66-69). The OpenCL sign /
+      fallback / remap tail (opencl/sdf.cl:206-223) is fused in, so HBM
+      traffic is 8 u8 strips in + 1 u8 image out.
+
+Byte-identical to ops.brute.brute_sdf_bytes (and therefore to the
+reference kernel): the diagonal-exclusion quirk (|dx| == |dy| candidates
+skipped, strictly v < u at opencl/sdf.cl:131-183) is applied per tap, and
+d^2 stays exact (integer dx, f32 accumulate of values < 2^24).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from chaq_sdfgen_tpu.ops import brute as brute_xla
+from chaq_sdfgen_tpu.ops.pallas_edt import _is_tpu, _refined_sqrt_inline
+
+_CHUNK = 256
+_SEG = 64
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _brute_kernel(
+    b_ref, l1t, l2t, r1t, r2t, l1f, l2f, r1f, r2f, out_ref,
+    scr_refs_and_scalars,
+    *, spread, h, asymmetric, invert,
+):
+    (st_l1, st_l2, st_r1, st_r2, sf_l1, sf_l2, sf_r1, sf_r2,
+     acc_ref, dtmp_ref, seg_ref, sm_ref) = scr_refs_and_scalars
+    hext = l1t.shape[0]
+    tn = out_ref.shape[1]
+    sent = spread + 1
+    big_d2 = jnp.float32(2 * sent * sent + 1)
+    nseg = (hext + _SEG - 1) // _SEG
+
+    # widen the u8 strips into i32 scratch once (u8 VMEM tiles are
+    # (32, 128); the dy taps need byte rows at arbitrary sublane offsets,
+    # which only f32/i32 (8, 128) tiling supports)
+    pairs = (
+        (st_l1, l1t), (st_l2, l2t), (st_r1, r1t), (st_r2, r2t),
+        (sf_l1, l1f), (sf_l2, l2f), (sf_r1, r1f), (sf_r2, r2f),
+    )
+    for dst, src in pairs:
+        for r in range(0, hext, 512):
+            rc = min(512, hext - r)
+            dst[r : r + rc, :] = src[r : r + rc, :].astype(jnp.int32)
+
+    # skip-bound tables: per-segment minima of min(l1, r1), one per polarity
+    for s in range(nseg):
+        lo, hi = s * _SEG, min((s + 1) * _SEG, hext)
+        seg_ref[s] = jnp.min(jnp.minimum(st_l1[lo:hi, :], st_r1[lo:hi, :]))
+        seg_ref[nseg + s] = jnp.min(jnp.minimum(sf_l1[lo:hi, :], sf_r1[lo:hi, :]))
+
+    def win_min(seg0, lo_row, hi_row):
+        lo_s = max(lo_row, 0) // _SEG
+        hi_s = (min(hi_row, hext) + _SEG - 1) // _SEG
+        m = seg_ref[seg0 + lo_s]
+        for s in range(lo_s + 1, hi_s):
+            m = jnp.minimum(m, seg_ref[seg0 + s])
+        return m
+
+    n_groups = spread // 8 + 1
+
+    def scan_polarity(sl1, sl2, sr1, sr2, seg0, r, rc):
+        """min d^2 to this polarity's seed set over the triangle candidate
+        set, for output rows [r, r+rc)."""
+
+        def probe(a, acc):
+            # tap pair dy = +-a reading ext rows r + spread -+ a
+            av = jnp.int32(a)
+            d2a = None
+            for sgn in ((0,) if a == 0 else (-1, 1)):
+                rr = r + spread + sgn * a
+                tl1 = sl1[rr : rr + rc, :]
+                tl2 = sl2[rr : rr + rc, :]
+                tr1 = sr1[rr : rr + rc, :]
+                tr2 = sr2[rr : rr + rc, :]
+                # diagonal exclusion: |dx| == |dy| candidates skipped
+                cl = jnp.where(tl1 == av, tl2, tl1)
+                cr = jnp.where(tr1 == av, tr2, tr1)
+                dx = jnp.minimum(cl, cr).astype(jnp.float32)
+                d2 = dx * dx + jnp.float32(a * a)
+                d2a = d2 if d2a is None else jnp.minimum(d2a, d2)
+            return d2a if acc is None else jnp.minimum(acc, d2a)
+
+        # center group: a = 0..8 unconditionally
+        acc = None
+        for a in range(0, min(8, spread) + 1):
+            acc = probe(a, acc)
+        acc_ref[0:rc, :] = acc
+        sm_ref[0] = jnp.max(acc)
+
+        for g in range(1, n_groups):
+            alo = 8 * g + 1
+            ahi = min(8 * (g + 1), spread)
+            if alo > spread:
+                break
+            wmin = jnp.minimum(
+                win_min(seg0, r + spread - ahi, r + spread - alo + rc),
+                win_min(seg0, r + spread + alo, r + spread + ahi + rc),
+            ).astype(jnp.float32)
+            lb = jnp.float32(alo * alo) + wmin * wmin
+
+            @pl.when(lb < sm_ref[0])
+            def _():
+                a2 = acc_ref[0:rc, :]
+                for a in range(alo, ahi + 1):
+                    a2 = probe(a, a2)
+                acc_ref[0:rc, :] = a2
+                sm_ref[0] = jnp.max(a2)
+
+        return acc_ref[0:rc, :]
+
+    src_min = jnp.float32(0.0) if asymmetric else jnp.float32(-float(spread))
+    src_max = jnp.float32(float(spread))
+    bigf = jnp.float32(2 * spread + 4)
+    for r in range(0, h, _CHUNK):
+        rc = min(_CHUNK, h - r)
+        # candidates are the OPPOSITE polarity of the center pixel
+        dtmp_ref[0:rc, :] = scan_polarity(st_l1, st_l2, st_r1, st_r2, 0, r, rc)
+        d2f = scan_polarity(sf_l1, sf_l2, sf_r1, sf_r2, nseg, r, rc)
+        d2t = dtmp_ref[0:rc, :]
+        bv = b_ref[r : r + rc, :] > jnp.uint8(0)
+        d2 = jnp.where(bv, d2f, d2t)
+        found = d2 <= jnp.float32(spread * spread)
+        d = _refined_sqrt_inline(d2)
+        # OpenCL tail (opencl/sdf.cl:206-223): decider = invert ^ val
+        decider = jnp.logical_xor(bool(invert), bv)
+        signed = jnp.where(decider, d, -(d + jnp.float32(-1.0)))
+        fallback = jnp.where(decider, bigf, -bigf)
+        dist = jnp.where(found, signed, fallback)
+        v = jnp.minimum(dist, src_max)
+        v = jnp.maximum(v, src_min)
+        remap = ((v - src_min) * jnp.float32(255.0)) / (src_max - src_min) + jnp.float32(0.0)
+        out_ref[r : r + rc, :] = remap.astype(jnp.int32).astype(jnp.uint8)
+
+
+def brute_sdf_bytes_pallas(
+    b: jnp.ndarray,
+    spread: int,
+    asymmetric: bool = False,
+    invert: bool = False,
+    interpret: bool | None = None,
+    tn: int = 128,
+) -> jnp.ndarray:
+    """BRUTE pipeline with the dy scan fused in VMEM. b: (..., H, W) bool ->
+    (..., H, W) uint8, byte-identical to ops.brute.brute_sdf_bytes.
+    Requires spread <= 254 (u8 sentinel range)."""
+    if spread + 1 > 255:
+        raise ValueError(f"pallas brute needs spread <= 254, got {spread}")
+    if interpret is None:
+        interpret = not _is_tpu()
+    if b.ndim > 2:
+        fn = functools.partial(
+            brute_sdf_bytes_pallas, spread=spread, asymmetric=asymmetric,
+            invert=invert, interpret=interpret, tn=tn,
+        )
+        for _ in range(b.ndim - 2):
+            fn = jax.vmap(fn)
+        return fn(b)
+
+    h, w = b.shape
+    sent = spread + 1
+    hp = _round_up(h, 8)
+    wp = _round_up(w, tn)
+
+    rows_t = brute_xla.row_seed_distances(b, sent)
+    rows_f = brute_xla.row_seed_distances(jnp.logical_not(b), sent)
+    hext = _round_up(hp + 2 * spread + 8, 8)
+
+    def prep(arr):
+        # rows: spread sentinel rows above, sentinel fill below to hext;
+        # pad columns (no pixels there) also read as sentinel
+        a = arr.astype(jnp.uint8)
+        return jnp.pad(
+            a,
+            ((spread, hext - h - spread), (0, wp - w)),
+            constant_values=jnp.uint8(sent),
+        )
+
+    strips = [prep(a) for a in (*rows_t, *rows_f)]
+    b_p = jnp.pad(b.astype(jnp.uint8), ((0, hp - h), (0, wp - w)))
+
+    nseg = (hext + _SEG - 1) // _SEG
+    kern = functools.partial(
+        _brute_kernel_entry, spread=spread, h=hp, asymmetric=asymmetric, invert=invert
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(wp // tn,),
+        in_specs=[pl.BlockSpec((hp, tn), lambda j: (0, j), memory_space=pltpu.VMEM)]
+        + [
+            pl.BlockSpec((hext, tn), lambda j: (0, j), memory_space=pltpu.VMEM)
+            for _ in range(8)
+        ],
+        out_specs=pl.BlockSpec((hp, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((hext, tn), jnp.int32) for _ in range(8)]
+        + [
+            pltpu.VMEM((_CHUNK, tn), jnp.float32),
+            pltpu.VMEM((_CHUNK, tn), jnp.float32),
+            pltpu.SMEM((2 * nseg,), jnp.int32),
+            pltpu.SMEM((2,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(b_p, *strips)
+    return out[:h, :w]
+
+
+def _brute_kernel_entry(
+    b_ref, l1t, l2t, r1t, r2t, l1f, l2f, r1f, r2f, out_ref, *scr, **kw
+):
+    _brute_kernel(
+        b_ref, l1t, l2t, r1t, r2t, l1f, l2f, r1f, r2f, out_ref, scr, **kw
+    )

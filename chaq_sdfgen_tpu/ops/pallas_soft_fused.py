@@ -119,14 +119,23 @@ def _chunk_softmin(ref, off, r, rc, band, t, seg_ref, nrows, sm_ref, acc_ref, *,
     tf = jnp.float32(t)
     n_groups_a = (band + 7) // 8
 
-    # ---- phase A: adaptive hard band-min, |dy| groups center-out ----
-    acc = _read_f32(ref, slice(off + r + band, off + r + band + rc))
+    # ---- phase A: adaptive hard band-min, |dy| groups center-out.
+    # Two round-robin accumulators: a single min chain is latency-bound
+    # on the VPU (same ILP fix as pallas_edt._fused_kernel, measured
+    # ~3.7x there) ----
+    a0 = _read_f32(ref, slice(off + r + band, off + r + band + rc))
+    a1 = None
     for dy in range(1, min(8, band) + 1):
         pair = jnp.minimum(
             _read_f32(ref, slice(off + r + band - dy, off + r + band - dy + rc)),
             _read_f32(ref, slice(off + r + band + dy, off + r + band + dy + rc)),
         )
-        acc = jnp.minimum(acc, pair + jnp.float32(dy * dy))
+        tap = pair + jnp.float32(dy * dy)
+        if dy % 2 == 0:
+            a0 = jnp.minimum(a0, tap)
+        else:
+            a1 = tap if a1 is None else jnp.minimum(a1, tap)
+    acc = a0 if a1 is None else jnp.minimum(a0, a1)
     acc_ref[0:rc, :] = acc
     sm_ref[0] = jnp.max(acc)
     for k in range(1, n_groups_a):
@@ -140,20 +149,28 @@ def _chunk_softmin(ref, off, r, rc, band, t, seg_ref, nrows, sm_ref, acc_ref, *,
 
         @pl.when(lb < sm_ref[0])
         def _():
-            a = acc_ref[0:rc, :]
+            b0 = acc_ref[0:rc, :]
+            b1 = None
             for dy in range(dylo, dyhi + 1):
                 pair = jnp.minimum(
                     _read_f32(ref, slice(off + r + band - dy, off + r + band - dy + rc)),
                     _read_f32(ref, slice(off + r + band + dy, off + r + band + dy + rc)),
                 )
-                a = jnp.minimum(a, pair + jnp.float32(dy * dy))
+                tap = pair + jnp.float32(dy * dy)
+                if dy % 2 == 0:
+                    b0 = jnp.minimum(b0, tap)
+                else:
+                    b1 = tap if b1 is None else jnp.minimum(b1, tap)
+            a = b0 if b1 is None else jnp.minimum(b0, b1)
             acc_ref[0:rc, :] = a
             sm_ref[0] = jnp.max(a)
 
     m = acc_ref[0:rc, :]
     thresh = sm_ref[0] + jnp.float32(_UNDERFLOW) * tf
 
-    # ---- phase B: adaptive exp-sum, 8-tap groups, aligned slabs ----
+    # ---- phase B: adaptive exp-sum, 8-tap groups, aligned slabs.
+    # Four partial sums carried ACROSS groups (merged once at the end)
+    # so the exp-add chain never serializes ----
     n_groups = (2 * band + 1 + 7) // 8
     delta = off % 8
     al = off - delta
@@ -165,12 +182,15 @@ def _chunk_softmin(ref, off, r, rc, band, t, seg_ref, nrows, sm_ref, acc_ref, *,
         blk = ref[pl.ds(base, rc + 16), :]
         if blk.dtype != jnp.float32:
             blk = blk.astype(jnp.float32)
+        s = list(s)
         for i in range(8):
             k = jnp.float32(8.0) * j.astype(jnp.float32) + jnp.float32(i)
             dy = k - jnp.float32(band)
             pen = jnp.where(k <= jnp.float32(2 * band), dy * dy, jnp.float32(3e38))
-            s = s + jnp.exp((m - blk[delta + i : delta + i + rc, :] - pen) * inv_t)
-        return s
+            s[i % 4] = s[i % 4] + jnp.exp(
+                (m - blk[delta + i : delta + i + rc, :] - pen) * inv_t
+            )
+        return tuple(s)
 
     def group(j, s):
         kf = jnp.float32(8.0) * j.astype(jnp.float32)
@@ -186,7 +206,9 @@ def _chunk_softmin(ref, off, r, rc, band, t, seg_ref, nrows, sm_ref, acc_ref, *,
         lb = dymin * dymin + wmin
         return jax.lax.cond(lb <= thresh, lambda a: taps(j, a), lambda a: a, s)
 
-    ssum = jax.lax.fori_loop(0, n_groups, group, jnp.zeros((rc, lanes), jnp.float32))
+    zero = jnp.zeros((rc, lanes), jnp.float32)
+    s4 = jax.lax.fori_loop(0, n_groups, group, (zero, zero, zero, zero))
+    ssum = (s4[0] + s4[1]) + (s4[2] + s4[3])
     return m - tf * jnp.log(ssum)
 
 
@@ -212,6 +234,7 @@ def _chunk_weight_sum(s_ref, v_ref, off, r, rc, band, t, g_chunk, segmax_ref, nr
             sblk = sblk.astype(jnp.float32)
         if vblk.dtype != jnp.float32:
             vblk = vblk.astype(jnp.float32)
+        s = list(s)
         for i in range(8):
             k = jnp.float32(8.0) * j.astype(jnp.float32) + jnp.float32(i)
             dy = k - jnp.float32(band)
@@ -219,8 +242,10 @@ def _chunk_weight_sum(s_ref, v_ref, off, r, rc, band, t, g_chunk, segmax_ref, nr
             st = sblk[delta + i : delta + i + rc, :]
             vt = vblk[delta + i : delta + i + rc, :]
             w = jnp.exp((st - pen - g_chunk) * inv_t)
-            s = s + w * vt
-        return s
+            # 4 round-robin partial sums (merged by the caller): a single
+            # accumulator chain is latency-bound on the VPU
+            s[i % 4] = s[i % 4] + w * vt
+        return tuple(s)
 
     def group(j, s):
         kf = jnp.float32(8.0) * j.astype(jnp.float32)
@@ -237,7 +262,9 @@ def _chunk_weight_sum(s_ref, v_ref, off, r, rc, band, t, g_chunk, segmax_ref, nr
         lb_ok = dymin * dymin <= wmax - g_min + jnp.float32(_UNDERFLOW) * tf
         return jax.lax.cond(lb_ok, lambda a: taps(j, a), lambda a: a, s)
 
-    return jax.lax.fori_loop(0, n_groups, group, jnp.zeros((rc, lanes), jnp.float32))
+    zero = jnp.zeros((rc, lanes), jnp.float32)
+    s4 = jax.lax.fori_loop(0, n_groups, group, (zero, zero, zero, zero))
+    return (s4[0] + s4[1]) + (s4[2] + s4[3])
 
 
 def _transpose_into(dst_ref, src, col0):
@@ -424,43 +451,38 @@ def _b2_kernel(
         nseg = _build_seg_min(s1_ref, seg_ref, rrows)
         del nseg
         wrows = d2w_ref.shape[0]
+        pad0 = _round_up(band, 8)
+        # ---- full-strip d2 recompute (ONE softmin per strip; the scratch
+        # holds all hp rows so chunk windows never overlap-recompute) with
+        # the tail chain rule applied inline ----
+        d2w_ref[:, :] = jnp.full(d2w_ref.shape, _NEG_HUGE, jnp.float32)
+        ct2w_ref[:, :] = jnp.zeros(ct2w_ref.shape, jnp.float32)
         for r in range(0, hp, _CHUNK):
             rc = min(_CHUNK, hp - r)
-            # ---- recompute d2 over window q in [r-band, r+rc+band) n [0,hp),
-            # stored at scratch row q - w0 (w0 8-aligned, possibly < 0) ----
-            w0 = _round_down(r - band, 8)
-            q_start = max(w0, 0)
-            q_end = min(_round_up(r + rc + band, 8), hp)
-            v0 = q_start - w0
-            d2w_ref[:, :] = jnp.full(d2w_ref.shape, _NEG_HUGE, jnp.float32)
-            ct2w_ref[:, :] = jnp.zeros(ct2w_ref.shape, jnp.float32)
-            for rr in range(0, q_end - q_start, _CHUNK):
-                rrc = min(_CHUNK, q_end - q_start - rr)
-                d2 = _chunk_softmin(
-                    s1_ref, off, q_start + rr, rrc, band, temperature,
-                    seg_ref, rrows, sm_ref, acc_ref,
-                )
-                d2w_ref[v0 + rr : v0 + rr + rrc, :] = d2
-                d = jnp.sqrt(jnp.maximum(d2, 0) + e)
-                ct = ct_ref[q_start + rr : q_start + rr + rrc, :]
-                # tail chain rule through d = sqrt(max(d2,0)+eps):
-                # the max clips the gradient to 0 where d2 <= 0 (soft-min
-                # dips below 0 at seeds: -T log(#near-equal taps));
-                # f=0 (inside): -ct * 1{d>1} * 0.5/d;  f=1: ct * 0.5/d
-                half = jnp.where(d2 > jnp.float32(0.0), jnp.float32(0.5) / d, jnp.float32(0.0))
-                g_in = -ct * jnp.where(d > jnp.float32(1.0), half, jnp.float32(0.0))
-                g_out = ct * half
-                ct2w_ref[v0 + rr : v0 + rr + rrc, :] = jnp.where(f == 0, g_in, g_out)
-            # segment maxima of the window's d2 (for the skip bound)
-            nsw = (wrows + _SEG - 1) // _SEG
-            for s in range(nsw):
-                segw_ref[s] = jnp.max(d2w_ref[s * _SEG : min((s + 1) * _SEG, wrows), :])
-            # ---- weight pass: scratch row of (p, k) = p + (k-band) - w0
-            #      = off_w + p + k with off_w = -w0 - 2*band... (k = dy+band):
-            #      row = p + dy - w0 = (-w0 - band) + p + (dy + band)
+            d2 = _chunk_softmin(
+                s1_ref, off, r, rc, band, temperature, seg_ref, rrows, sm_ref, acc_ref
+            )
+            d2w_ref[pad0 + r : pad0 + r + rc, :] = d2
+            d = jnp.sqrt(jnp.maximum(d2, 0) + e)
+            ct = ct_ref[r : r + rc, :]
+            # tail chain rule through d = sqrt(max(d2,0)+eps):
+            # the max clips the gradient to 0 where d2 <= 0 (soft-min
+            # dips below 0 at seeds: -T log(#near-equal taps));
+            # f=0 (inside): -ct * 1{d>1} * 0.5/d;  f=1: ct * 0.5/d
+            half = jnp.where(d2 > jnp.float32(0.0), jnp.float32(0.5) / d, jnp.float32(0.0))
+            g_in = -ct * jnp.where(d > jnp.float32(1.0), half, jnp.float32(0.0))
+            g_out = ct * half
+            ct2w_ref[pad0 + r : pad0 + r + rc, :] = jnp.where(f == 0, g_in, g_out)
+        # segment maxima of the strip's d2 (for the skip bound)
+        nsw = (wrows + _SEG - 1) // _SEG
+        for s in range(nsw):
+            segw_ref[s] = jnp.max(d2w_ref[s * _SEG : min((s + 1) * _SEG, wrows), :])
+        # ---- weight pass: scratch row of (p, k) = pad0 + p + (k - band) ----
+        for r in range(0, hp, _CHUNK):
+            rc = min(_CHUNK, hp - r)
             g_chunk = _read_f32(s1_ref, slice(_TM + r, _TM + r + rc))
             ds1 = _chunk_weight_sum(
-                d2w_ref, ct2w_ref, -w0 - band, r, rc, band, temperature,
+                d2w_ref, ct2w_ref, pad0 - band, r, rc, band, temperature,
                 g_chunk, segw_ref, wrows,
             )
             _transpose_into(ds1t_ref, ds1, r)
@@ -474,7 +496,7 @@ def b2_pass(s1cat, ct_p, band, temperature, eps, interpret):
     ph = _round_up(2 * band + 24, _TN)
     npad = ph // _TN
     nj = nw + 2 * npad
-    wrows = _round_up(_CHUNK + 2 * band + 32, 8)
+    wrows = _round_up(_round_up(band, 8) + hp + band + 24, 8)
     nseg = (rrows + _SEG - 1) // _SEG
     nsw = (wrows + _SEG - 1) // _SEG
     kern = functools.partial(

@@ -27,14 +27,28 @@ from chaq_sdfgen_tpu.ops.numerics import refined_sqrt
 from chaq_sdfgen_tpu.parallel.halo import exchange_row_halo
 
 
-def _local_hard_bytes(b_blk, spread, asymmetric, band, y_axis):
+def _halo_fn(halo: str, interpret: bool):
+    """Select the halo-exchange implementation (ShardingConfig.halo_impl):
+    'ppermute' (XLA collective) or 'rdma' (Pallas remote-DMA ring,
+    parallel/pallas_halo.py). Both are bitwise-identical by construction
+    and cross-validated in tests."""
+    if halo == "rdma":
+        from chaq_sdfgen_tpu.parallel.pallas_halo import exchange_row_halo_rdma
+
+        return lambda g, band, ax, fill: exchange_row_halo_rdma(
+            g, band, ax, fill, interpret
+        )
+    return exchange_row_halo
+
+
+def _local_hard_bytes(b_blk, spread, asymmetric, band, y_axis, halo_fn=exchange_row_halo):
     """Per-shard hard EXACT pipeline with halo'd pass 2 (XLA scan cores —
     the portable path; the Pallas variant below is the TPU perf path)."""
     big = edt.big_sentinel(band)
 
     def field(seeds):
         g = edt.row_nearest_sq(seeds, band)
-        gext = exchange_row_halo(g, band, y_axis, big)
+        gext = halo_fn(g, band, y_axis, big)
         sq = edt.band_min_ext(gext, band)
         # (the reference's single-row no-sqrt quirk can't arise here: a
         # 1-row image is not shardable over 'y' — use the single-chip path)
@@ -46,7 +60,8 @@ def _local_hard_bytes(b_blk, spread, asymmetric, band, y_axis):
     return merge.remap_to_byte(vals, spread, asymmetric)
 
 
-def _local_hard_bytes_pallas(b_blk, spread, asymmetric, band, y_axis, interpret):
+def _local_hard_bytes_pallas(b_blk, spread, asymmetric, band, y_axis, interpret,
+                             halo_fn=exchange_row_halo):
     """Per-shard hard EXACT pipeline on the fused Pallas kernels
     (ops/pallas_edt.py): pass 1 local (rows never cross shards), u8
     row-distance strips exchange a band-row halo over ICI, and the fused
@@ -57,8 +72,8 @@ def _local_hard_bytes_pallas(b_blk, spread, asymmetric, band, y_axis, interpret)
     from chaq_sdfgen_tpu.ops import pallas_edt
 
     din, dout = pallas_edt.row_distances_u8(b_blk, band, interpret=interpret)
-    din_ext = exchange_row_halo(din, band, y_axis, 255)
-    dout_ext = exchange_row_halo(dout, band, y_axis, 255)
+    din_ext = halo_fn(din, band, y_axis, 255)
+    dout_ext = halo_fn(dout, band, y_axis, 255)
     return pallas_edt.fused_pass2_bytes(
         din_ext, dout_ext, spread, asymmetric, band, interpret=interpret
     )
@@ -74,6 +89,7 @@ def sharded_hard_sdf_bytes(
     batch_axis: Optional[str] = None,
     use_pallas: Optional[bool] = None,
     interpret: Optional[bool] = None,
+    halo: str = "ppermute",
 ) -> jnp.ndarray:
     """Hard EXACT pipeline over a mesh. b: bool (H, W) or (N, H, W) with H
     divisible by the 'y' mesh axis. Bitwise identical to the single-chip
@@ -95,15 +111,16 @@ def sharded_hard_sdf_bytes(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
 
+    halo_fn = _halo_fn(halo, interpret)
     if use_pallas:
         fn = functools.partial(
             _local_hard_bytes_pallas, spread=spread, asymmetric=asymmetric,
-            band=band, y_axis=y_axis, interpret=interpret,
+            band=band, y_axis=y_axis, interpret=interpret, halo_fn=halo_fn,
         )
     else:
         fn = functools.partial(
             _local_hard_bytes, spread=spread, asymmetric=asymmetric, band=band,
-            y_axis=y_axis,
+            y_axis=y_axis, halo_fn=halo_fn,
         )
     if batch_axis is not None and use_pallas:
         inner = fn
@@ -111,7 +128,8 @@ def sharded_hard_sdf_bytes(
     # pallas_call cannot declare how its outputs vary over mesh axes, so
     # the vma check must be off for the Pallas branch
     mapped = jax.shard_map(
-        fn, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=not use_pallas
+        fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_vma=not (use_pallas or halo == "rdma"),
     )
     return mapped(b)
 
@@ -191,11 +209,17 @@ def sharded_soft_sdf_field(
     band: Optional[int] = None,
     y_axis: str = "y",
     batch_axis: Optional[str] = None,
+    halo: str = "ppermute",
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Sharded differentiable soft SDF (parallel analogue of
     ops.softsdf.soft_sdf_field). Pass 1 local; pass 2 halo'd; fully
-    differentiable (ppermute has a transpose rule)."""
+    differentiable (ppermute has a transpose rule; the rdma halo carries
+    a custom VJP)."""
     band = band if band is not None else spread + 2
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    halo_fn = _halo_fn(halo, interpret)
     big = edt.big_sentinel(band)
     if batch_axis is None:
         spec = P(y_axis, None)
@@ -209,7 +233,7 @@ def sharded_soft_sdf_field(
 
         def field(hh):
             s1 = softsdf.band_softmin(hh, band, temperature, axis=-1)
-            s1ext = exchange_row_halo(s1, band, y_axis, softsdf._PAD_HEIGHT)
+            s1ext = halo_fn(s1, band, y_axis, softsdf._PAD_HEIGHT)
             return softsdf.band_softmin_ext(s1ext, band, temperature, axis=-2)
 
         d2_in = field(h_in)
@@ -219,5 +243,8 @@ def sharded_soft_sdf_field(
         d_out = jnp.sqrt(jnp.maximum(d2_out, 0) + e)
         return d_out - jnp.maximum(d_in - jnp.float32(1.0), jnp.float32(0.0))
 
-    mapped = jax.shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    mapped = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_vma=halo != "rdma",
+    )
     return mapped(gray)

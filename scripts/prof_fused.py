@@ -54,6 +54,7 @@ s1cat = jax.block_until_ready(s1cat)
 ct = jnp.ones((N, N), jnp.float32)
 ds1t, ph = jax.jit(lambda s, c: F.b2_pass(s, c, band, T, eps, False))(s1cat, ct)
 ds1t = jax.block_until_ready(ds1t)
+ph = int(ph)
 print("shapes:", s1cat.shape, logitsT.shape, ds1t.shape, "ph:", ph, flush=True)
 
 if "f1" in which:

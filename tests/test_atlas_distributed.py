@@ -53,6 +53,53 @@ def test_check_mesh_errors():
         check_mesh(mesh, batch=4, height=30)
 
 
+def test_two_process_dcn_atlas_bitwise():
+    """Real jax.distributed bring-up: 2 processes x 4 virtual CPU devices,
+    global ('data', 'y') mesh, one sharded atlas step, every process's
+    addressable shards bitwise-equal to the single-process reference
+    (exercises distributed.initialize / global_mesh multi-process paths)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # the TPU plugin's sitecustomize (on PYTHONPATH) initializes jax at
+    # interpreter startup, before the worker can pin its own platform —
+    # workers get a scrubbed env with platform/devices fixed at spawn
+    env["PYTHONPATH"] = root
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    worker = os.path.join(root, "tests", "dcn_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, errout = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((pid, p.returncode, out, errout))
+    for pid, rc, out, errout in outs:
+        assert rc == 0, f"worker {pid} rc={rc}\nstdout:\n{out}\nstderr:\n{errout}"
+        assert f"DCN_OK p{pid}" in out, (out, errout)
+
+
 def test_global_mesh_single_host():
     m = global_mesh(y_per_host=4)
     assert dict(zip(m.axis_names, m.devices.shape)) == {"data": 2, "y": 4}

@@ -22,7 +22,7 @@ def test_rdma_halo_matches_ppermute(n, band):
     fill = 123.5
 
     def via_rdma(blk):
-        return exchange_row_halo_rdma(blk, band, "y", fill, interpret=True)
+        return exchange_row_halo_rdma(blk, band, "y", fill, True)
 
     def via_ppermute(blk):
         return exchange_row_halo(blk, band, "y", fill)
@@ -41,15 +41,28 @@ def test_rdma_halo_matches_ppermute(n, band):
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
 
 
-def test_rdma_halo_rejects_multihop():
+@pytest.mark.parametrize("band", [9, 17])
+def test_rdma_halo_multihop_matches_ppermute(band):
+    # band > 8-row shards: the hop-wise full-block RDMA chain must agree
+    # with the multi-hop ppermute halo bitwise
+    rng = np.random.default_rng(band)
     mesh = meshlib.make_mesh((8,), ("y",))
+    g = jnp.asarray(rng.random((64, 128)).astype(np.float32))
+    fill = -7.25
 
-    def bad(blk):
-        return exchange_row_halo_rdma(blk, 9, "y", 0.0, interpret=True)
+    def via_rdma(blk):
+        return exchange_row_halo_rdma(blk, band, "y", fill, True)
 
-    g = jnp.zeros((64, 128), jnp.float32)
-    with pytest.raises(Exception):
-        jax.jit(
-            jax.shard_map(bad, mesh=mesh, in_specs=(P("y", None),),
-                          out_specs=P("y", None), check_vma=False)
-        )(g)
+    def via_ppermute(blk):
+        return exchange_row_halo(blk, band, "y", fill)
+
+    spec = P("y", None)
+    r1 = jax.jit(
+        jax.shard_map(via_rdma, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                      check_vma=False)
+    )(g)
+    r2 = jax.jit(
+        jax.shard_map(via_ppermute, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                      check_vma=False)
+    )(g)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))

@@ -74,6 +74,72 @@ def test_sharded_hard_pallas_band_larger_than_shard():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_sharded_hard_rdma_halo_bitwise(use_pallas):
+    # ShardingConfig.halo_impl='rdma': the Pallas remote-DMA ring must be
+    # byte-equal to the ppermute halo on both local cores
+    rng = np.random.default_rng(21)
+    b = rng.random((64, 40)) < 0.35
+    mesh = _mesh1d(4)
+    got = sharded_hard_sdf_bytes(
+        jnp.asarray(b), 9, mesh, use_pallas=use_pallas, halo="rdma"
+    )
+    want = hard_sdf_exact_from_bool(jnp.asarray(b), 9, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_hard_rdma_multihop_bitwise():
+    # band 20 > 8-row shards: the RDMA halo's hop-wise block chain
+    rng = np.random.default_rng(22)
+    b = rng.random((64, 32)) < 0.3
+    mesh = _mesh1d(8)
+    got = sharded_hard_sdf_bytes(jnp.asarray(b), 18, mesh, halo="rdma")
+    want = hard_sdf_exact_from_bool(jnp.asarray(b), 18, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_soft_rdma_halo_and_gradient():
+    # soft pipeline on the rdma halo: forward equal to ppermute AND the
+    # custom VJP (reverse-ring scatter-add) must match the ppermute grad
+    rng = np.random.default_rng(23)
+    gray = (rng.random((48, 32)) * 255).astype(np.float32)
+    w = jnp.asarray(rng.standard_normal((48, 32)).astype(np.float32))
+    mesh = _mesh1d(4)
+
+    def loss(g, halo):
+        return jnp.vdot(
+            sharded_soft_sdf_field(g, 6, mesh, tau=2.0, temperature=1.0, halo=halo), w
+        )
+
+    f_pp = np.asarray(sharded_soft_sdf_field(jnp.asarray(gray), 6, mesh, tau=2.0,
+                                             temperature=1.0, halo="ppermute"))
+    f_rd = np.asarray(sharded_soft_sdf_field(jnp.asarray(gray), 6, mesh, tau=2.0,
+                                             temperature=1.0, halo="rdma"))
+    np.testing.assert_array_equal(f_rd, f_pp)
+    g_pp = np.asarray(jax.grad(lambda g: loss(g, "ppermute"))(jnp.asarray(gray)))
+    g_rd = np.asarray(jax.grad(lambda g: loss(g, "rdma"))(jnp.asarray(gray)))
+    assert np.abs(g_pp).max() > 0
+    np.testing.assert_allclose(g_rd, g_pp, rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_soft_rdma_multihop_gradient():
+    # band (spread+2=7) > 4-row shards -> 2-hop rdma chains in fwd AND bwd
+    rng = np.random.default_rng(24)
+    gray = (rng.random((32, 16)) * 255).astype(np.float32)
+    w = jnp.asarray(rng.standard_normal((32, 16)).astype(np.float32))
+    mesh = _mesh1d(8)
+
+    def loss(g, halo):
+        return jnp.vdot(
+            sharded_soft_sdf_field(g, 5, mesh, tau=2.0, temperature=1.0, halo=halo), w
+        )
+
+    g_pp = np.asarray(jax.grad(lambda g: loss(g, "ppermute"))(jnp.asarray(gray)))
+    g_rd = np.asarray(jax.grad(lambda g: loss(g, "rdma"))(jnp.asarray(gray)))
+    assert np.abs(g_pp).max() > 0
+    np.testing.assert_allclose(g_rd, g_pp, rtol=1e-6, atol=1e-7)
+
+
 def test_sharded_soft_matches_single_chip():
     rng = np.random.default_rng(2)
     gray = (rng.random((48, 32)) * 255).astype(np.float32)

@@ -83,16 +83,119 @@ def main():
     def loss(g):
         return jnp.sum(softsdf.soft_sdf_field(g, spread, tau=2.0, temperature=1.0))
 
-    def soft_many(g):
-        def body(i, acc):
-            v, gr = jax.value_and_grad(loss)(g + i.astype(jnp.float32))
-            return acc + v + jnp.sum(gr)
-        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+    def soft_many(g0):
+        # SGD-on-pixels: each iteration is a full train step (fwd + bwd +
+        # update); the update varies the input so nothing folds
+        def body(i, carry):
+            g, acc = carry
+            v, gr = jax.value_and_grad(loss)(g)
+            return (g - jnp.float32(1e-6) * gr, acc + v)
+        _, acc = jax.lax.fori_loop(0, K, body, (g0, jnp.float32(0)))
+        return acc
 
     vg = jax.jit(soft_many)
     dt_soft = _time_best(lambda: float(vg(gray)), iters=3) / K
     soft_pps = N * N / dt_soft
     err(f"soft 4K fwd+bwd: {dt_soft*1e3:.2f} ms/iter -> {soft_pps/1e9:.3f} Gpix/s")
+
+    extras = {}
+
+    # --- BRUTE (OpenCL-parity) 4K fwd, spread 64, fused Pallas kernel ---
+    try:
+        from chaq_sdfgen_tpu.ops import pallas_brute
+
+        def brute_many(x):
+            def body(i, acc):
+                o = pallas_brute.brute_sdf_bytes_pallas(
+                    jnp.logical_xor(x, i % 2 == 1), spread
+                )
+                return acc + jnp.sum(o.astype(jnp.int32))
+            return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+
+        bf = jax.jit(brute_many)
+        dt = _time_best(lambda: int(bf(b4k)), iters=3) / K
+        extras["brute_fwd_pixels_per_s"] = round(N * N / dt, 1)
+        err(f"brute 4K fwd: {dt*1e3:.2f} ms/iter -> {N*N/dt/1e9:.3f} Gpix/s")
+    except Exception as e:  # pragma: no cover - bench resilience
+        err("brute bench failed:", repr(e))
+
+    # --- JFA (scale-out algorithm) 4K fwd ---
+    try:
+        from chaq_sdfgen_tpu.ops import jfa
+
+        def jfa_many(x):
+            def body(i, acc):
+                d = jfa.jfa_distance(jnp.logical_xor(x, i % 2 == 1))
+                return acc + jnp.sum(d)
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+        jf = jax.jit(jfa_many)
+        dt = _time_best(lambda: float(jf(b4k)), iters=3) / K
+        extras["jfa_fwd_pixels_per_s"] = round(N * N / dt, 1)
+        err(f"jfa 4K fwd: {dt*1e3:.2f} ms/iter -> {N*N/dt/1e9:.3f} Gpix/s")
+    except Exception as e:
+        err("jfa bench failed:", repr(e))
+
+    # --- glyph-realistic atlas (BASELINE config 5 shape): batched hard
+    #     path on synthetic glyph stacks where the adaptive skip bounds
+    #     bite (large empty regions), 8 x 1K x 1K ---
+    try:
+        from chaq_sdfgen_tpu.models.sdf_model import hard_sdf_exact_from_bool
+
+        glyphs = np.zeros((8, 1024, 1024), dtype=bool)
+        yy, xx = np.mgrid[0:1024, 0:1024]
+        for gi in range(8):
+            grng = np.random.default_rng(gi)
+            for _ in range(6):  # strokes: random filled ellipses + bars
+                cy, cx = grng.integers(128, 896, 2)
+                ry, rx = grng.integers(30, 160, 2)
+                glyphs[gi] |= ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1.0
+            x0, w0 = grng.integers(100, 800), grng.integers(40, 90)
+            glyphs[gi][:, x0 : x0 + w0] = True
+        gstack = jnp.asarray(glyphs)
+
+        def atlas_many(x):
+            def body(i, acc):
+                o = hard_sdf_exact_from_bool(jnp.logical_xor(x, i % 2 == 1), spread)
+                return acc + jnp.sum(o.astype(jnp.int32))
+            return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+
+        af = jax.jit(atlas_many)
+        dt = _time_best(lambda: int(af(gstack)), iters=3) / K
+        npix = int(np.prod(gstack.shape))
+        extras["atlas_glyph_hard_pixels_per_s"] = round(npix / dt, 1)
+        err(f"atlas 8x1K glyphs hard: {dt*1e3:.2f} ms/iter -> {npix/dt/1e9:.3f} Gpix/s")
+    except Exception as e:
+        err("atlas bench failed:", repr(e))
+
+    # --- sharded overhead: 1-device mesh shard_map (Pallas local cores +
+    #     halo exchange machinery) vs the unsharded fused kernel ---
+    try:
+        from jax.sharding import Mesh
+        from chaq_sdfgen_tpu.parallel.sharded import sharded_hard_sdf_bytes
+
+        mesh = Mesh(np.array(jax.devices()[:1]), ("y",))
+
+        def shard_many(x):
+            def body(i, acc):
+                o = sharded_hard_sdf_bytes(
+                    jnp.logical_xor(x, i % 2 == 1), spread, mesh, use_pallas=True,
+                    interpret=False,
+                )
+                return acc + jnp.sum(o.astype(jnp.int32))
+            return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+
+        sf = jax.jit(shard_many)
+        dt = _time_best(lambda: int(sf(b4k)), iters=3) / K
+        overhead = dt / dt_hard - 1.0
+        extras["sharded_1dev_hard_pixels_per_s"] = round(N * N / dt, 1)
+        extras["sharded_1dev_overhead_vs_fused"] = round(overhead, 4)
+        err(
+            f"sharded(1-dev mesh) 4K hard: {dt*1e3:.2f} ms/iter "
+            f"({overhead*100:+.1f}% vs unsharded)"
+        )
+    except Exception as e:
+        err("sharded bench failed:", repr(e))
 
     value = soft_pps if parity_ok else 0.0
     print(
@@ -106,6 +209,7 @@ def main():
                     "hard_fwd_pixels_per_s": round(hard_pps, 1),
                     "golden_parity": parity_ok,
                     "spread": spread,
+                    **extras,
                 },
             }
         ),

@@ -40,6 +40,12 @@ _ROW_CHUNK = 256
 _SEG = 64  # granularity of the windowed skip-bound tables
 _PAD_H = 1e30  # sentinel height (matches softsdf._PAD_HEIGHT)
 _NEG_HUGE = -3.0e38
+# Tap-truncation bound shared by fwd thresh and bwd weight skip: dropped
+# tap groups contribute < exp(-_CUT) ~ 2e-12 RELATIVE (the min tap always
+# contributes 1 to the exp-sum) — far below f32 rounding of the sum and
+# ~9 orders below the 4e-3 bf16 noise the fused path accepts between
+# passes. 104.0 would make the skip provably bit-exact at ~2x the taps.
+_CUT = 27.0
 
 
 def _softmin_fwd_kernel(gext_ref, out_ref, acc_ref, seg_ref, sm_ref, *, band, h, temperature):
@@ -54,13 +60,13 @@ def _softmin_fwd_kernel(gext_ref, out_ref, acc_ref, seg_ref, sm_ref, *, band, h,
     (a global strip min is useless when the strip mixes strong seeds with
     empty space — e.g. glyph atlases). Phase A (hard band-min, the
     softmax normalizer) skips when the bound cannot lower the chunk's
-    current min; phase B (exp-sum) skips when every term underflows to
-    exactly 0.0f ((tap - m)/T > ~104 incl. subnormals). Both skips are
-    bit-exact."""
+    current min (bit-exact); phase B (exp-sum) skips tap groups whose
+    every term is below exp(-_CUT) relative to the sum (see _CUT: rel
+    error < 2e-12, ~9 orders below the path's bf16 storage noise)."""
     inv_t = jnp.float32(1.0 / temperature)
     t = jnp.float32(temperature)
     n_groups = (2 * band + 1 + 7) // 8
-    n_groups_a = (band + 7) // 8
+    n_groups_a = (band + 3) // 4
     tn = out_ref.shape[1]
     hrows = gext_ref.shape[0]
     nseg = (hrows + _SEG - 1) // _SEG
@@ -78,9 +84,11 @@ def _softmin_fwd_kernel(gext_ref, out_ref, acc_ref, seg_ref, sm_ref, *, band, h,
 
     for r in range(0, h, _ROW_CHUNK):
         rc = min(_ROW_CHUNK, h - r)
-        # phase A: adaptive hard band-min, |dy| groups from the center out
+        # phase A: adaptive hard band-min, |dy| groups from the center
+        # out in 4-tap groups (the always-on central group is the floor
+        # cost; bounds pay for everything further out)
         acc = gext_ref[r + band : r + band + rc, :]
-        for dy in range(1, min(8, band) + 1):
+        for dy in range(1, min(4, band) + 1):
             pair = jnp.minimum(
                 gext_ref[r + band - dy : r + band - dy + rc, :],
                 gext_ref[r + band + dy : r + band + dy + rc, :],
@@ -89,8 +97,10 @@ def _softmin_fwd_kernel(gext_ref, out_ref, acc_ref, seg_ref, sm_ref, *, band, h,
         acc_ref[0:rc, :] = acc
         sm_ref[0] = jnp.max(acc)
         for k in range(1, n_groups_a):
-            dylo = 8 * k + 1
-            dyhi = min(8 * (k + 1), band)
+            dylo = 4 * k + 1
+            dyhi = min(4 * (k + 1), band)
+            if dylo > band:
+                break
             wmin = jnp.minimum(
                 win_min(r + band - dyhi, r + band - dylo + rc),
                 win_min(r + band + dylo, r + band + dyhi + rc),
@@ -110,26 +120,20 @@ def _softmin_fwd_kernel(gext_ref, out_ref, acc_ref, seg_ref, sm_ref, *, band, h,
                 sm_ref[0] = jnp.max(a)
 
         m = acc_ref[0:rc, :]
-        thresh = sm_ref[0] + jnp.float32(104.0) * t
+        thresh = sm_ref[0] + jnp.float32(_CUT) * t
 
-        # phase B: exp-sum in 8-tap groups (aligned dynamic load)
-        def taps(j, acc):
-            base = pl.multiple_of(r + 8 * j, 8)
-            blk = gext_ref[pl.ds(base, rc + 8), :]
-            for i in range(8):
-                k = jnp.float32(8.0) * j.astype(jnp.float32) + jnp.float32(i)
-                dy = k - jnp.float32(band)
-                # surplus taps from the 8-group rounding get +huge penalty
-                pen = jnp.where(k <= jnp.float32(2 * band), dy * dy, jnp.float32(3e38))
-                acc = acc + jnp.exp((m - blk[i : i + rc, :] - pen) * inv_t)
-            return acc
+        # phase B: exp-sum over 8-aligned slabs, each slab's two 4-tap
+        # halves independently bound-checked
+        def half_dymin(klo, khi):
+            lo1 = jnp.abs(klo - jnp.float32(band))
+            lo2 = jnp.abs(khi - jnp.float32(band))
+            straddles = jnp.logical_and(klo <= jnp.float32(band), jnp.float32(band) <= khi)
+            return jnp.where(straddles, jnp.float32(0.0), jnp.minimum(lo1, lo2))
 
         def group(j, acc):
             kf = jnp.float32(8.0) * j.astype(jnp.float32)
-            lo1 = jnp.abs(kf - jnp.float32(band))
-            lo2 = jnp.abs(kf + jnp.float32(7.0) - jnp.float32(band))
-            straddles = jnp.logical_and(kf <= jnp.float32(band), jnp.float32(band) < kf + 8.0)
-            dymin = jnp.where(straddles, jnp.float32(0.0), jnp.minimum(lo1, lo2))
+            d1 = half_dymin(kf, kf + 3.0)
+            d2 = half_dymin(kf + 4.0, kf + 7.0)
             # group j reads strip rows [r + 8j, r + 8j + 8 + rc)
             lo_s = (r + 8 * j) // jnp.int32(_SEG)
             hi_s = (r + 8 * j + 8 + rc + _SEG - 1) // jnp.int32(_SEG)
@@ -137,8 +141,26 @@ def _softmin_fwd_kernel(gext_ref, out_ref, acc_ref, seg_ref, sm_ref, *, band, h,
             wmin = jax.lax.fori_loop(
                 lo_s, hi_s, lambda s, mv: jnp.minimum(mv, seg_ref[s]), jnp.float32(3e38)
             )
-            lb = dymin * dymin + wmin
-            return jax.lax.cond(lb <= thresh, lambda a: taps(j, a), lambda a: a, acc)
+            run1 = d1 * d1 + wmin <= thresh
+            run2 = d2 * d2 + wmin <= thresh
+
+            def with_blk(acc):
+                base = pl.multiple_of(r + 8 * j, 8)
+                blk = gext_ref[pl.ds(base, rc + 8), :]
+
+                def taps_half(i0, acc):
+                    for i in range(i0, i0 + 4):
+                        k = jnp.float32(8.0) * j.astype(jnp.float32) + jnp.float32(i)
+                        dy = k - jnp.float32(band)
+                        # surplus taps from 8-group rounding: +huge penalty
+                        pen = jnp.where(k <= jnp.float32(2 * band), dy * dy, jnp.float32(3e38))
+                        acc = acc + jnp.exp((m - blk[i : i + rc, :] - pen) * inv_t)
+                    return acc
+
+                acc = jax.lax.cond(run1, lambda a: taps_half(0, a), lambda a: a, acc)
+                return jax.lax.cond(run2, lambda a: taps_half(4, a), lambda a: a, acc)
+
+            return jax.lax.cond(jnp.logical_or(run1, run2), with_blk, lambda a: a, acc)
 
         acc = jax.lax.fori_loop(0, n_groups, group, jnp.zeros((rc, tn), jnp.float32))
         out_ref[r : r + rc, :] = m - t * jnp.log(acc)
@@ -172,37 +194,47 @@ def _softmin_bwd_kernel(gext_hbm, spad_hbm, ctpad_hbm, dg_ref, gv, sv, cv, sem, 
         lo_row = max(r + f - (8 * n_groups - 1), 0)
         hi_row = min(r + f + rc, hpad_rows)
         s_max = jnp.max(sv[lo_row:hi_row, :])
-        thresh = s_max - g_min + jnp.float32(104.0) * t
+        thresh = s_max - g_min + jnp.float32(_CUT) * t
 
-        def taps(jj, acc):
-            # taps k = 8jj .. 8jj+7 read source rows p - k, i.e. padded
-            # rows (r + F) - 8jj - i .. ; aligned base, static sub-slices
-            base = pl.multiple_of(r + f - 8 * jj - 8, 8)
-            sblk = sv[pl.ds(base, rc + 8), :]
-            cblk = cv[pl.ds(base, rc + 8), :]
-            for i in range(8):
-                k_off = jnp.float32(8.0) * jj.astype(jnp.float32) + jnp.float32(i)
-                dy = k_off - jnp.float32(band)
-                # surplus taps from the 8-group rounding get +huge penalty
-                pen = jnp.where(
-                    k_off <= jnp.float32(2 * band), dy * dy, jnp.float32(3e38)
-                )
-                # row offset inside blk for tap k: (r+F-k) - base = 8 - i
-                st = sblk[8 - i : 8 - i + rc, :]
-                ct = cblk[8 - i : 8 - i + rc, :]
-                w = jnp.exp((st - pen - g) * inv_t)
-                acc = acc + w * ct
-            return acc
+        def half_dymin(klo, khi):
+            lo1 = jnp.abs(klo - jnp.float32(band))
+            lo2 = jnp.abs(khi - jnp.float32(band))
+            straddles = jnp.logical_and(klo <= jnp.float32(band), jnp.float32(band) <= khi)
+            return jnp.where(straddles, jnp.float32(0.0), jnp.minimum(lo1, lo2))
 
         def group(jj, acc):
             kf = jnp.float32(8.0) * jj.astype(jnp.float32)
-            lo1 = jnp.abs(kf - jnp.float32(band))
-            lo2 = jnp.abs(kf + jnp.float32(7.0) - jnp.float32(band))
-            straddles = jnp.logical_and(kf <= jnp.float32(band), jnp.float32(band) < kf + 8.0)
-            dymin = jnp.where(straddles, jnp.float32(0.0), jnp.minimum(lo1, lo2))
-            return jax.lax.cond(
-                dymin * dymin <= thresh, lambda a: taps(jj, a), lambda a: a, acc
-            )
+            d1 = half_dymin(kf, kf + 3.0)
+            d2 = half_dymin(kf + 4.0, kf + 7.0)
+            run1 = d1 * d1 <= thresh
+            run2 = d2 * d2 <= thresh
+
+            def with_blk(acc):
+                # taps k = 8jj .. 8jj+7 read source rows p - k, i.e.
+                # padded rows (r+F) - 8jj - i; aligned base, static slices
+                base = pl.multiple_of(r + f - 8 * jj - 8, 8)
+                sblk = sv[pl.ds(base, rc + 8), :]
+                cblk = cv[pl.ds(base, rc + 8), :]
+
+                def taps_half(i0, acc):
+                    for i in range(i0, i0 + 4):
+                        k_off = jnp.float32(8.0) * jj.astype(jnp.float32) + jnp.float32(i)
+                        dy = k_off - jnp.float32(band)
+                        # surplus taps from 8-group rounding: +huge penalty
+                        pen = jnp.where(
+                            k_off <= jnp.float32(2 * band), dy * dy, jnp.float32(3e38)
+                        )
+                        # row offset inside blk for tap k: (r+F-k) - base = 8 - i
+                        st = sblk[8 - i : 8 - i + rc, :]
+                        ct = cblk[8 - i : 8 - i + rc, :]
+                        w = jnp.exp((st - pen - g) * inv_t)
+                        acc = acc + w * ct
+                    return acc
+
+                acc = jax.lax.cond(run1, lambda a: taps_half(0, a), lambda a: a, acc)
+                return jax.lax.cond(run2, lambda a: taps_half(4, a), lambda a: a, acc)
+
+            return jax.lax.cond(jnp.logical_or(run1, run2), with_blk, lambda a: a, acc)
 
         dg_ref[r : r + rc, :] = jax.lax.fori_loop(
             0, n_groups, group, jnp.zeros((rc, tn), jnp.float32)

@@ -55,11 +55,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 _TM = 128  # row-block height (F1/B1 grid) == lane count of transposed compute
 _TN = 128  # column-strip width (F2/B2 grid)
-_CHUNK = 256  # rows per inner step
+_CHUNK = 256  # rows per inner step (512 was measured WORSE: the skip
+# bounds compare against the chunk's max, and a 512-row chunk admits
+# more tap groups than the per-chunk overhead saved)
 _SEG = 64  # granularity of segment min/max bound tables
 _PAD_H = 1e30  # sentinel height (matches softsdf._PAD_HEIGHT)
 _NEG_HUGE = -3.0e38
-_UNDERFLOW = 104.0  # exp((m - tap)/T) == 0.0f once (tap-m)/T > ~104
+# Tap-truncation bound: a tap with (tap - m)/T > _CUT contributes
+# exp(-_CUT) < 2e-12 RELATIVE to the soft-min's exp-sum (the m-tap always
+# contributes exp(0) = 1), perturbing the f32 result by far less than one
+# ulp in practice and by ~9 orders of magnitude less than the bf16
+# inter-pass storage already accepted (rel ~4e-3). 104 (true f32
+# underflow) would make the skips provably exact but roughly doubles the
+# live tap count; 27 keeps fwd/bwd mutually consistent (both passes use
+# the same bound) at half the work.
+_UNDERFLOW = 27.0
 
 
 def _round_up(x: int, m: int) -> int:
@@ -117,30 +127,28 @@ def _chunk_softmin(ref, off, r, rc, band, t, seg_ref, nrows, sm_ref, acc_ref, *,
     ref must be valid on rows [off + r, off + r + rc + 2*band + 16)."""
     inv_t = jnp.float32(1.0 / t)
     tf = jnp.float32(t)
-    n_groups_a = (band + 7) // 8
+    n_groups_a = (band + 3) // 4
 
-    # ---- phase A: adaptive hard band-min, |dy| groups center-out.
-    # Two round-robin accumulators: a single min chain is latency-bound
-    # on the VPU (same ILP fix as pallas_edt._fused_kernel, measured
-    # ~3.7x there) ----
-    a0 = _read_f32(ref, slice(off + r + band, off + r + band + rc))
-    a1 = None
-    for dy in range(1, min(8, band) + 1):
+    # ---- phase A: adaptive hard band-min, |dy| groups center-out in
+    # 4-tap groups (the always-on central group is the floor cost of the
+    # whole pass — keep it small and let the bounds pay for the rest).
+    # NOTE: no multi-accumulator ILP here — a (rc, 128) chunk is already
+    # 32 independent vreg chains, and extra accumulators of this size
+    # spill (measured 2x slower with 4 carried partial sums) ----
+    acc = _read_f32(ref, slice(off + r + band, off + r + band + rc))
+    for dy in range(1, min(4, band) + 1):
         pair = jnp.minimum(
             _read_f32(ref, slice(off + r + band - dy, off + r + band - dy + rc)),
             _read_f32(ref, slice(off + r + band + dy, off + r + band + dy + rc)),
         )
-        tap = pair + jnp.float32(dy * dy)
-        if dy % 2 == 0:
-            a0 = jnp.minimum(a0, tap)
-        else:
-            a1 = tap if a1 is None else jnp.minimum(a1, tap)
-    acc = a0 if a1 is None else jnp.minimum(a0, a1)
+        acc = jnp.minimum(acc, pair + jnp.float32(dy * dy))
     acc_ref[0:rc, :] = acc
     sm_ref[0] = jnp.max(acc)
     for k in range(1, n_groups_a):
-        dylo = 8 * k + 1
-        dyhi = min(8 * (k + 1), band)
+        dylo = 4 * k + 1
+        dyhi = min(4 * (k + 1), band)
+        if dylo > band:
+            break
         wmin = jnp.minimum(
             _win_min(seg_ref, off + r + band - dyhi, off + r + band - dylo + rc, nrows, seg0=seg0),
             _win_min(seg_ref, off + r + band + dylo, off + r + band + dyhi + rc, nrows, seg0=seg0),
@@ -149,66 +157,66 @@ def _chunk_softmin(ref, off, r, rc, band, t, seg_ref, nrows, sm_ref, acc_ref, *,
 
         @pl.when(lb < sm_ref[0])
         def _():
-            b0 = acc_ref[0:rc, :]
-            b1 = None
+            a = acc_ref[0:rc, :]
             for dy in range(dylo, dyhi + 1):
                 pair = jnp.minimum(
                     _read_f32(ref, slice(off + r + band - dy, off + r + band - dy + rc)),
                     _read_f32(ref, slice(off + r + band + dy, off + r + band + dy + rc)),
                 )
-                tap = pair + jnp.float32(dy * dy)
-                if dy % 2 == 0:
-                    b0 = jnp.minimum(b0, tap)
-                else:
-                    b1 = tap if b1 is None else jnp.minimum(b1, tap)
-            a = b0 if b1 is None else jnp.minimum(b0, b1)
+                a = jnp.minimum(a, pair + jnp.float32(dy * dy))
             acc_ref[0:rc, :] = a
             sm_ref[0] = jnp.max(a)
 
     m = acc_ref[0:rc, :]
     thresh = sm_ref[0] + jnp.float32(_UNDERFLOW) * tf
 
-    # ---- phase B: adaptive exp-sum, 8-tap groups, aligned slabs.
-    # Four partial sums carried ACROSS groups (merged once at the end)
-    # so the exp-add chain never serializes ----
+    # ---- phase B: adaptive exp-sum over 8-aligned slabs, each slab's
+    # two 4-tap halves independently bound-checked ----
     n_groups = (2 * band + 1 + 7) // 8
     delta = off % 8
     al = off - delta
     lanes = m.shape[1]
     nseg = (nrows + _SEG - 1) // _SEG
 
-    def taps(j, s):
-        base = pl.multiple_of(al + r + 8 * j, 8)
-        blk = ref[pl.ds(base, rc + 16), :]
-        if blk.dtype != jnp.float32:
-            blk = blk.astype(jnp.float32)
-        s = list(s)
-        for i in range(8):
-            k = jnp.float32(8.0) * j.astype(jnp.float32) + jnp.float32(i)
-            dy = k - jnp.float32(band)
-            pen = jnp.where(k <= jnp.float32(2 * band), dy * dy, jnp.float32(3e38))
-            s[i % 4] = s[i % 4] + jnp.exp(
-                (m - blk[delta + i : delta + i + rc, :] - pen) * inv_t
-            )
-        return tuple(s)
+    def half_dymin(klo, khi):
+        # min |k - band| over k in [klo, khi] (f32 scalars)
+        lo1 = jnp.abs(klo - jnp.float32(band))
+        lo2 = jnp.abs(khi - jnp.float32(band))
+        straddles = jnp.logical_and(klo <= jnp.float32(band), jnp.float32(band) <= khi)
+        return jnp.where(straddles, jnp.float32(0.0), jnp.minimum(lo1, lo2))
 
     def group(j, s):
         kf = jnp.float32(8.0) * j.astype(jnp.float32)
-        lo1 = jnp.abs(kf - jnp.float32(band))
-        lo2 = jnp.abs(kf + jnp.float32(7.0) - jnp.float32(band))
-        straddles = jnp.logical_and(kf <= jnp.float32(band), jnp.float32(band) < kf + 8.0)
-        dymin = jnp.where(straddles, jnp.float32(0.0), jnp.minimum(lo1, lo2))
+        d1 = half_dymin(kf, kf + 3.0)
+        d2 = half_dymin(kf + 4.0, kf + 7.0)
         lo_s = jnp.maximum(off + r + 8 * j, 0) // jnp.int32(_SEG)
         hi_s = jnp.minimum((off + r + 8 * j + 8 + rc + _SEG - 1) // jnp.int32(_SEG), nseg)
         wmin = jax.lax.fori_loop(
             lo_s, hi_s, lambda ss, mv: jnp.minimum(mv, seg_ref[seg0 + ss]), jnp.float32(3e38)
         )
-        lb = dymin * dymin + wmin
-        return jax.lax.cond(lb <= thresh, lambda a: taps(j, a), lambda a: a, s)
+        run1 = d1 * d1 + wmin <= thresh
+        run2 = d2 * d2 + wmin <= thresh
 
-    zero = jnp.zeros((rc, lanes), jnp.float32)
-    s4 = jax.lax.fori_loop(0, n_groups, group, (zero, zero, zero, zero))
-    ssum = (s4[0] + s4[1]) + (s4[2] + s4[3])
+        def with_blk(s):
+            base = pl.multiple_of(al + r + 8 * j, 8)
+            blk = ref[pl.ds(base, rc + 16), :]
+            if blk.dtype != jnp.float32:
+                blk = blk.astype(jnp.float32)
+
+            def taps_half(i0, s):
+                for i in range(i0, i0 + 4):
+                    k = jnp.float32(8.0) * j.astype(jnp.float32) + jnp.float32(i)
+                    dy = k - jnp.float32(band)
+                    pen = jnp.where(k <= jnp.float32(2 * band), dy * dy, jnp.float32(3e38))
+                    s = s + jnp.exp((m - blk[delta + i : delta + i + rc, :] - pen) * inv_t)
+                return s
+
+            s = jax.lax.cond(run1, lambda a: taps_half(0, a), lambda a: a, s)
+            return jax.lax.cond(run2, lambda a: taps_half(4, a), lambda a: a, s)
+
+        return jax.lax.cond(jnp.logical_or(run1, run2), with_blk, lambda a: a, s)
+
+    ssum = jax.lax.fori_loop(0, n_groups, group, jnp.zeros((rc, lanes), jnp.float32))
     return m - tf * jnp.log(ssum)
 
 
@@ -226,45 +234,52 @@ def _chunk_weight_sum(s_ref, v_ref, off, r, rc, band, t, g_chunk, segmax_ref, nr
     g_min = jnp.min(g_chunk)
     nseg = (nrows + _SEG - 1) // _SEG
 
-    def taps(j, s):
-        base = pl.multiple_of(al + r + 8 * j, 8)
-        sblk = s_ref[pl.ds(base, rc + 16), :]
-        vblk = v_ref[pl.ds(base, rc + 16), :]
-        if sblk.dtype != jnp.float32:
-            sblk = sblk.astype(jnp.float32)
-        if vblk.dtype != jnp.float32:
-            vblk = vblk.astype(jnp.float32)
-        s = list(s)
-        for i in range(8):
-            k = jnp.float32(8.0) * j.astype(jnp.float32) + jnp.float32(i)
-            dy = k - jnp.float32(band)
-            pen = jnp.where(k <= jnp.float32(2 * band), dy * dy, jnp.float32(3e38))
-            st = sblk[delta + i : delta + i + rc, :]
-            vt = vblk[delta + i : delta + i + rc, :]
-            w = jnp.exp((st - pen - g_chunk) * inv_t)
-            # 4 round-robin partial sums (merged by the caller): a single
-            # accumulator chain is latency-bound on the VPU
-            s[i % 4] = s[i % 4] + w * vt
-        return tuple(s)
+    def half_dymin(klo, khi):
+        lo1 = jnp.abs(klo - jnp.float32(band))
+        lo2 = jnp.abs(khi - jnp.float32(band))
+        straddles = jnp.logical_and(klo <= jnp.float32(band), jnp.float32(band) <= khi)
+        return jnp.where(straddles, jnp.float32(0.0), jnp.minimum(lo1, lo2))
 
     def group(j, s):
         kf = jnp.float32(8.0) * j.astype(jnp.float32)
-        lo1 = jnp.abs(kf - jnp.float32(band))
-        lo2 = jnp.abs(kf + jnp.float32(7.0) - jnp.float32(band))
-        straddles = jnp.logical_and(kf <= jnp.float32(band), jnp.float32(band) < kf + 8.0)
-        dymin = jnp.where(straddles, jnp.float32(0.0), jnp.minimum(lo1, lo2))
+        d1 = half_dymin(kf, kf + 3.0)
+        d2 = half_dymin(kf + 4.0, kf + 7.0)
         lo_s = jnp.maximum(off + r + 8 * j, 0) // jnp.int32(_SEG)
         hi_s = jnp.minimum((off + r + 8 * j + 8 + rc + _SEG - 1) // jnp.int32(_SEG), nseg)
         wmax = jax.lax.fori_loop(
             lo_s, hi_s, lambda ss, mv: jnp.maximum(mv, segmax_ref[seg0 + ss]), jnp.float32(_NEG_HUGE)
         )
-        # any w > 0 in this group requires pen <= max S - min g + 104T
-        lb_ok = dymin * dymin <= wmax - g_min + jnp.float32(_UNDERFLOW) * tf
-        return jax.lax.cond(lb_ok, lambda a: taps(j, a), lambda a: a, s)
+        # any w > 0 in a half requires pen <= max S - min g + _CUT*T
+        bound = wmax - g_min + jnp.float32(_UNDERFLOW) * tf
+        run1 = d1 * d1 <= bound
+        run2 = d2 * d2 <= bound
 
-    zero = jnp.zeros((rc, lanes), jnp.float32)
-    s4 = jax.lax.fori_loop(0, n_groups, group, (zero, zero, zero, zero))
-    return (s4[0] + s4[1]) + (s4[2] + s4[3])
+        def with_blk(s):
+            base = pl.multiple_of(al + r + 8 * j, 8)
+            sblk = s_ref[pl.ds(base, rc + 16), :]
+            vblk = v_ref[pl.ds(base, rc + 16), :]
+            if sblk.dtype != jnp.float32:
+                sblk = sblk.astype(jnp.float32)
+            if vblk.dtype != jnp.float32:
+                vblk = vblk.astype(jnp.float32)
+
+            def taps_half(i0, s):
+                for i in range(i0, i0 + 4):
+                    k = jnp.float32(8.0) * j.astype(jnp.float32) + jnp.float32(i)
+                    dy = k - jnp.float32(band)
+                    pen = jnp.where(k <= jnp.float32(2 * band), dy * dy, jnp.float32(3e38))
+                    st = sblk[delta + i : delta + i + rc, :]
+                    vt = vblk[delta + i : delta + i + rc, :]
+                    w = jnp.exp((st - pen - g_chunk) * inv_t)
+                    s = s + w * vt
+                return s
+
+            s = jax.lax.cond(run1, lambda a: taps_half(0, a), lambda a: a, s)
+            return jax.lax.cond(run2, lambda a: taps_half(4, a), lambda a: a, s)
+
+        return jax.lax.cond(jnp.logical_or(run1, run2), with_blk, lambda a: a, s)
+
+    return jax.lax.fori_loop(0, n_groups, group, jnp.zeros((rc, lanes), jnp.float32))
 
 
 def _transpose_into(dst_ref, src, col0):
@@ -281,8 +296,8 @@ def _transpose_into(dst_ref, src, col0):
 
 
 def _f1_kernel(
-    gray_ref, s1cat_ref, logitsT_ref, xt_ref, hs_ref, acc_ref, seg_ref, sm_ref,
-    *, band, w, wl, nb, h_real, tau, temperature, test_above,
+    gray_ref, s1cat_ref, logitsT_ref, s1t_ref, xt_ref, hs_ref, acc_ref, seg_ref, sm_ref,
+    *, band, w, wl, nb, h_real, ph, tau, temperature, test_above,
 ):
     i = pl.program_id(0)
     f = pl.program_id(1)
@@ -291,6 +306,8 @@ def _f1_kernel(
     @pl.when(sentinel)
     def _():
         s1cat_ref[:, :] = jnp.full(s1cat_ref.shape, _PAD_H, s1cat_ref.dtype)
+        # junk column-blocks of the memoized S1T (B1 never reads them)
+        s1t_ref[:, :] = jnp.full(s1t_ref.shape, _NEG_HUGE, jnp.float32)
 
     @pl.when(jnp.logical_not(sentinel))
     def _():
@@ -305,18 +322,36 @@ def _f1_kernel(
                 xt_ref[c : c + cc, :] = (blk - jnp.float32(127.5)) * jnp.float32(sgn0 / tau)
             logitsT_ref[:, :] = xt_ref[:, :].astype(logitsT_ref.dtype)
 
-        # heights strip for field f (f=0: seeds on): h = T*softplus(-l)
-        sgn = jnp.where(f == 0, jnp.float32(1.0), jnp.float32(-1.0))
+        # heights strip for field f (f=0: seeds on): h0 = T*softplus(-l).
+        # Field 1 reuses field 0's strip (grid scratch persists across the
+        # f iterations of the same i): softplus(l) = softplus(-l) + l
+        # exactly, so h1 = h0 + T*l — a mul-add instead of a softplus.
         e1 = hs_ref.shape[0]
-        hs_ref[:, :] = jnp.full(hs_ref.shape, _PAD_H, jnp.float32)
-        for c in range(0, w, 512):
-            cc = min(512, w - c)
-            l = xt_ref[c : c + cc, :] * sgn
-            h = jnp.float32(temperature) * _softplus(-l)
-            hs_ref[band + c : band + c + cc, :] = jnp.minimum(h, jnp.float32(_PAD_H))
+
+        @pl.when(f == 0)
+        def _():
+            hs_ref[:, :] = jnp.full(hs_ref.shape, _PAD_H, jnp.float32)
+            for c in range(0, w, 512):
+                cc = min(512, w - c)
+                l = xt_ref[c : c + cc, :]
+                h = jnp.float32(temperature) * _softplus(-l)
+                hs_ref[band + c : band + c + cc, :] = jnp.minimum(h, jnp.float32(_PAD_H))
+
+        @pl.when(f == 1)
+        def _():
+            for c in range(0, w, 512):
+                cc = min(512, w - c)
+                l = xt_ref[c : c + cc, :]
+                hs_ref[band + c : band + c + cc, :] = (
+                    hs_ref[band + c : band + c + cc, :] + jnp.float32(temperature) * l
+                )
 
         nseg = _build_seg_min(hs_ref, seg_ref, e1)
         del nseg
+        # memoized-S1T pad slabs (the weight-pass geometry B1 shares with
+        # ds1t): rows [0, ph) and [ph+wl, 2ph+wl) read as -huge
+        s1t_ref[0:ph, :] = jnp.full((ph, _TM), _NEG_HUGE, jnp.float32)
+        s1t_ref[ph + wl : 2 * ph + wl, :] = jnp.full((ph, _TM), _NEG_HUGE, jnp.float32)
         # lanes are image rows y = (i-1)*TM + lane; pad rows y >= h_real
         # must leave sentinel S1 (their gray is padding, not pixels)
         y0 = (i - 1) * jnp.int32(_TM)
@@ -325,6 +360,10 @@ def _f1_kernel(
             s1 = _chunk_softmin(
                 hs_ref, 0, r, rc, band, temperature, seg_ref, e1, sm_ref, acc_ref
             )
+            # memoize the UNMASKED f32 S1 (exactly what B1's weight pass
+            # must normalize against); the PAD_H lane mask below only
+            # belongs to the y-direction pass's input
+            s1t_ref[ph + r : ph + r + rc, :] = s1
             lane_y = jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1) + y0
             s1 = jnp.where(lane_y < jnp.int32(h_real), s1, jnp.float32(_PAD_H))
             _transpose_into(s1cat_ref, s1, r)
@@ -333,16 +372,19 @@ def _f1_kernel(
 def f1_pass(gray_p, w_real, h_real, band, tau, temperature, test_above, s1_dtype, interpret):
     """gray_p: (Hp, WL) f32 padded.  Returns (s1cat ((nb+2)*TM, 2*WL)
     s1_dtype with TM-row sentinel halo blocks top+bottom, logitsT
-    (WL, Hp) bf16)."""
+    (WL, Hp) bf16, s1t_cat (2*(WL+2*ph), (nb+2)*TM) f32 — the exact-f32
+    pass-1 soft-min in transposed layout, memoized for B1)."""
     hp, wl = gray_p.shape
     nb = hp // _TM
     e1 = _round_up(2 * band + wl + 24, 8)
     nseg = (e1 + _SEG - 1) // _SEG
+    ph = _round_up(2 * band + 24, _TN)
+    prows = wl + 2 * ph
     kern = functools.partial(
-        _f1_kernel, band=band, w=w_real, wl=wl, nb=nb, h_real=h_real, tau=tau,
+        _f1_kernel, band=band, w=w_real, wl=wl, nb=nb, h_real=h_real, ph=ph, tau=tau,
         temperature=temperature, test_above=test_above,
     )
-    s1cat, logitsT = pl.pallas_call(
+    s1cat, logitsT, s1t_cat = pl.pallas_call(
         kern,
         grid=(nb + 2, 2),
         in_specs=[
@@ -359,10 +401,12 @@ def f1_pass(gray_p, w_real, h_real, band, tau, temperature, test_above, s1_dtype
                 lambda i, f: (0, jnp.clip(i - 1, 0, nb - 1)),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec((prows, _TM), lambda i, f: (f, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(((nb + 2) * _TM, 2 * wl), s1_dtype),
             jax.ShapeDtypeStruct((wl, hp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((2 * prows, (nb + 2) * _TM), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((wl, _TM), jnp.float32),
@@ -374,7 +418,7 @@ def f1_pass(gray_p, w_real, h_real, band, tau, temperature, test_above, s1_dtype
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(gray_p)
-    return s1cat, logitsT
+    return s1cat, logitsT, s1t_cat
 
 
 # --------------------------------------------------------------------------
@@ -382,26 +426,37 @@ def f1_pass(gray_p, w_real, h_real, band, tau, temperature, test_above, s1_dtype
 # --------------------------------------------------------------------------
 
 
-def _f2_kernel(sin_ref, sout_ref, field_ref, acc_ref, seg_ref, sm_ref, *, band, hp, eps, temperature):
+def _f2_kernel(sin_ref, sout_ref, field_ref, d2cat_ref, wide_ref, acc_ref, seg_ref, sm_ref, *, band, hp, eps, temperature):
     rrows = sin_ref.shape[0]
     off = _TM - band
-    n_in = _build_seg_min(sin_ref, seg_ref, rrows, seg0=0)
-    _build_seg_min(sout_ref, seg_ref, rrows, seg0=n_in)
     e = jnp.float32(eps)
-    for r in range(0, hp, _CHUNK):
-        rc = min(_CHUNK, hp - r)
-        d2i = _chunk_softmin(
-            sin_ref, off, r, rc, band, temperature, seg_ref, rrows, sm_ref, acc_ref, seg0=0
-        )
-        d2o = _chunk_softmin(
-            sout_ref, off, r, rc, band, temperature, seg_ref, rrows, sm_ref, acc_ref, seg0=n_in
-        )
-        d_in = jnp.sqrt(jnp.maximum(d2i, 0) + e)
-        d_out = jnp.sqrt(jnp.maximum(d2o, 0) + e)
-        field_ref[r : r + rc, :] = d_out - jnp.maximum(d_in - jnp.float32(1.0), jnp.float32(0.0))
+    # per field: widen the bf16 strip ONCE into f32 scratch (the band
+    # stencil slices it ~25x per chunk — per-slice converts dominate),
+    # then run all chunks; the field combine reads d2_in back from the
+    # already-written output block
+    for fi, src in ((0, sin_ref), (1, sout_ref)):
+        for rr in range(0, rrows, 512):
+            rcw = min(512, rrows - rr)
+            wide_ref[rr : rr + rcw, :] = src[rr : rr + rcw, :].astype(jnp.float32)
+        _build_seg_min(wide_ref, seg_ref, rrows, seg0=0)
+        for r in range(0, hp, _CHUNK):
+            rc = min(_CHUNK, hp - r)
+            d2 = _chunk_softmin(
+                wide_ref, off, r, rc, band, temperature, seg_ref, rrows, sm_ref, acc_ref, seg0=0
+            )
+            d2cat_ref[fi * hp + r : fi * hp + r + rc, :] = d2
+            if fi == 1:
+                d2i = d2cat_ref[r : r + rc, :]
+                d_in = jnp.sqrt(jnp.maximum(d2i, 0) + e)
+                d_out = jnp.sqrt(jnp.maximum(d2, 0) + e)
+                field_ref[r : r + rc, :] = d_out - jnp.maximum(
+                    d_in - jnp.float32(1.0), jnp.float32(0.0)
+                )
 
 
 def f2_pass(s1cat, hp, band, temperature, eps, interpret):
+    """Returns (field (hp, wl) f32, d2cat (2*hp, wl) f32 — in-field rows
+    [0, hp), out-field rows [hp, 2hp), memoized for B2)."""
     rrows, twl = s1cat.shape
     wl = twl // 2
     nw = wl // _TN
@@ -414,11 +469,18 @@ def f2_pass(s1cat, hp, band, temperature, eps, interpret):
             pl.BlockSpec((rrows, _TN), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((rrows, _TN), lambda j: (0, j + nw), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((hp, _TN), lambda j: (0, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, wl), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((hp, _TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * hp, _TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wl), jnp.float32),
+            jax.ShapeDtypeStruct((2 * hp, wl), jnp.float32),
+        ],
         scratch_shapes=[
+            pltpu.VMEM((rrows, _TN), jnp.float32),
             pltpu.VMEM((_CHUNK, _TN), jnp.float32),
-            pltpu.SMEM((2 * nseg,), jnp.float32),
+            pltpu.SMEM((nseg,), jnp.float32),
             pltpu.SMEM((2,), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
@@ -432,7 +494,7 @@ def f2_pass(s1cat, hp, band, temperature, eps, interpret):
 
 
 def _b2_kernel(
-    s1_ref, ct_ref, ds1t_ref, d2w_ref, ct2w_ref, acc_ref, seg_ref, segw_ref, sm_ref,
+    s1_ref, ct_ref, d2_ref, ds1t_ref, d2w_ref, ct2w_ref, segw_ref,
     *, band, hp, eps, temperature, npad, nw,
 ):
     jj = pl.program_id(0)
@@ -445,23 +507,16 @@ def _b2_kernel(
 
     @pl.when(jnp.logical_not(edge))
     def _():
-        rrows = s1_ref.shape[0]
-        off = _TM - band
         e = jnp.float32(eps)
-        nseg = _build_seg_min(s1_ref, seg_ref, rrows)
-        del nseg
         wrows = d2w_ref.shape[0]
         pad0 = _round_up(band, 8)
-        # ---- full-strip d2 recompute (ONE softmin per strip; the scratch
-        # holds all hp rows so chunk windows never overlap-recompute) with
-        # the tail chain rule applied inline ----
+        # ---- stage the memoized f32 d2 (F2 output — no soft-min
+        # recompute) and apply the tail chain rule inline ----
         d2w_ref[:, :] = jnp.full(d2w_ref.shape, _NEG_HUGE, jnp.float32)
         ct2w_ref[:, :] = jnp.zeros(ct2w_ref.shape, jnp.float32)
         for r in range(0, hp, _CHUNK):
             rc = min(_CHUNK, hp - r)
-            d2 = _chunk_softmin(
-                s1_ref, off, r, rc, band, temperature, seg_ref, rrows, sm_ref, acc_ref
-            )
+            d2 = d2_ref[r : r + rc, :]
             d2w_ref[pad0 + r : pad0 + r + rc, :] = d2
             d = jnp.sqrt(jnp.maximum(d2, 0) + e)
             ct = ct_ref[r : r + rc, :]
@@ -488,7 +543,7 @@ def _b2_kernel(
             _transpose_into(ds1t_ref, ds1, r)
 
 
-def b2_pass(s1cat, ct_p, band, temperature, eps, interpret):
+def b2_pass(s1cat, ct_p, d2cat, band, temperature, eps, interpret):
     rrows, twl = s1cat.shape
     wl = twl // 2
     hp = ct_p.shape[0]
@@ -497,7 +552,6 @@ def b2_pass(s1cat, ct_p, band, temperature, eps, interpret):
     npad = ph // _TN
     nj = nw + 2 * npad
     wrows = _round_up(_round_up(band, 8) + hp + band + 24, 8)
-    nseg = (rrows + _SEG - 1) // _SEG
     nsw = (wrows + _SEG - 1) // _SEG
     kern = functools.partial(
         _b2_kernel, band=band, hp=hp, eps=eps, temperature=temperature, npad=npad, nw=nw
@@ -516,6 +570,11 @@ def b2_pass(s1cat, ct_p, band, temperature, eps, interpret):
                 lambda jj, f: (0, jnp.clip(jj - npad, 0, nw - 1)),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (hp, _TN),
+                lambda jj, f: (f, jnp.clip(jj - npad, 0, nw - 1)),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (_TN, hp), lambda jj, f: (f * nj + jj, 0), memory_space=pltpu.VMEM
@@ -524,14 +583,11 @@ def b2_pass(s1cat, ct_p, band, temperature, eps, interpret):
         scratch_shapes=[
             pltpu.VMEM((wrows, _TN), jnp.float32),
             pltpu.VMEM((wrows, _TN), jnp.float32),
-            pltpu.VMEM((_CHUNK, _TN), jnp.float32),
-            pltpu.SMEM((nseg,), jnp.float32),
             pltpu.SMEM((nsw,), jnp.float32),
-            pltpu.SMEM((2,), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(s1cat, ct_p)
+    )(s1cat, ct_p, d2cat)
     return ds1t, ph
 
 
@@ -541,7 +597,7 @@ def b2_pass(s1cat, ct_p, band, temperature, eps, interpret):
 
 
 def _b1_kernel(
-    logitsT_ref, ds1t_ref, dgray_ref, hs_ref, s1t_ref, dlacc_ref, acc_ref, seg_ref, segx_ref, sm_ref,
+    logitsT_ref, ds1t_ref, s1t_ref, dgray_ref, hs_ref, dsw_ref, dlacc_ref, segx_ref,
     *, band, w, wl, ph, tau, temperature, test_above,
 ):
     f = pl.program_id(1)
@@ -551,24 +607,37 @@ def _b1_kernel(
     e1 = hs_ref.shape[0]
     prows = s1t_ref.shape[0]
 
-    # heights strip (extended, sentinel-padded) from stored logits
-    hs_ref[:, :] = jnp.full(hs_ref.shape, _PAD_H, jnp.float32)
-    for c in range(0, w, 512):
-        cc = min(512, w - c)
-        l = logitsT_ref[c : c + cc, :].astype(jnp.float32) * sgn
-        h = tf * _softplus(-l)
-        hs_ref[band + c : band + c + cc, :] = jnp.minimum(h, jnp.float32(_PAD_H))
+    # heights strip (extended, sentinel-padded) from stored logits —
+    # still needed as the weight-pass target g and for the chain rule.
+    # Same two-step construction as F1 (f1 strip = f0 strip + T*l, exact
+    # identity softplus(l) = softplus(-l) + l) so g matches F1's S1
+    # normalization bit-for-bit.
+    @pl.when(f == 0)
+    def _():
+        hs_ref[:, :] = jnp.full(hs_ref.shape, _PAD_H, jnp.float32)
+        for c in range(0, w, 512):
+            cc = min(512, w - c)
+            l = logitsT_ref[c : c + cc, :].astype(jnp.float32)
+            h = tf * _softplus(-l)
+            hs_ref[band + c : band + c + cc, :] = jnp.minimum(h, jnp.float32(_PAD_H))
 
-    # recompute S1 (f32, bit-equal to F1's internal values)
-    _build_seg_min(hs_ref, seg_ref, e1)
-    s1t_ref[:, :] = jnp.full(s1t_ref.shape, _NEG_HUGE, jnp.float32)
-    for r in range(0, wl, _CHUNK):
-        rc = min(_CHUNK, wl - r)
-        s1t_ref[ph + r : ph + r + rc, :] = _chunk_softmin(
-            hs_ref, 0, r, rc, band, temperature, seg_ref, e1, sm_ref, acc_ref
-        )
+    @pl.when(f == 1)
+    def _():
+        for c in range(0, w, 512):
+            cc = min(512, w - c)
+            l = logitsT_ref[c : c + cc, :].astype(jnp.float32)
+            hs_ref[band + c : band + c + cc, :] = (
+                hs_ref[band + c : band + c + cc, :] + tf * l
+            )
 
-    # segment maxima of recomputed S1 (skip bounds for the weight pass)
+    # widen the bf16 cotangent strip once (the weight pass slices it per
+    # tap — per-slice converts dominate otherwise)
+    for rr in range(0, prows, 512):
+        rcw = min(512, prows - rr)
+        dsw_ref[rr : rr + rcw, :] = ds1t_ref[rr : rr + rcw, :].astype(jnp.float32)
+
+    # S1 comes memoized from F1 (exact f32 — weights stay exactly
+    # normalized); segment maxima feed the weight-pass skip bounds
     nsx = (prows + _SEG - 1) // _SEG
     for s in range(nsx):
         segx_ref[s] = jnp.max(s1t_ref[s * _SEG : min((s + 1) * _SEG, prows), :])
@@ -578,7 +647,7 @@ def _b1_kernel(
         rc = min(_CHUNK, wl - r)
         g_chunk = hs_ref[band + r : band + r + rc, :]
         dh = _chunk_weight_sum(
-            s1t_ref, ds1t_ref, ph - band, r, rc, band, temperature,
+            s1t_ref, dsw_ref, ph - band, r, rc, band, temperature,
             g_chunk, segx_ref, prows,
         )
         l = logitsT_ref[r : r + rc, :].astype(jnp.float32) * sgn
@@ -596,12 +665,11 @@ def _b1_kernel(
         _transpose_into(dgray_ref, dlacc_ref[:, :], 0)
 
 
-def b1_pass(logitsT, ds1t, hp, w_real, band, ph, tau, temperature, test_above, interpret):
+def b1_pass(logitsT, ds1t, s1t_cat, hp, w_real, band, ph, tau, temperature, test_above, interpret):
     wl = logitsT.shape[0]
     nb = hp // _TM
     e1 = _round_up(2 * band + wl + 24, 8)
     prows = ph + wl + ph
-    nseg = (e1 + _SEG - 1) // _SEG
     nsx = (prows + _SEG - 1) // _SEG
     kern = functools.partial(
         _b1_kernel, band=band, w=w_real, wl=wl, ph=ph, tau=tau,
@@ -613,6 +681,7 @@ def b1_pass(logitsT, ds1t, hp, w_real, band, ph, tau, temperature, test_above, i
         in_specs=[
             pl.BlockSpec((wl, _TM), lambda i, f: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((prows, _TM), lambda i, f: (f, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((prows, _TM), lambda i, f: (f, i + 1), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_TM, wl), lambda i, f: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wl), jnp.float32),
@@ -620,14 +689,11 @@ def b1_pass(logitsT, ds1t, hp, w_real, band, ph, tau, temperature, test_above, i
             pltpu.VMEM((e1, _TM), jnp.float32),
             pltpu.VMEM((prows, _TM), jnp.float32),
             pltpu.VMEM((wl, _TM), jnp.float32),
-            pltpu.VMEM((_CHUNK, _TM), jnp.float32),
-            pltpu.SMEM((nseg,), jnp.float32),
             pltpu.SMEM((nsx,), jnp.float32),
-            pltpu.SMEM((2,), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(logitsT, ds1t)
+    )(logitsT, ds1t, s1t_cat)
 
 
 # --------------------------------------------------------------------------
@@ -660,19 +726,19 @@ def _fused_fwd(gray, band, tau, temperature, eps, test_above, interpret):
     hp = _round_up(max(h, _TM), _TM)
     wl = _round_up(max(w, 128), 128)
     gray_p = jnp.pad(gray.astype(jnp.float32), ((0, hp - h), (0, wl - w)))
-    s1cat, logitsT = f1_pass(
+    s1cat, logitsT, s1t_cat = f1_pass(
         gray_p, w, h, band, tau, temperature, test_above, jnp.bfloat16, interpret
     )
-    field = f2_pass(s1cat, hp, band, temperature, eps, interpret)
-    return field[:h, :w], (s1cat, logitsT, h, w, hp, wl)
+    field, d2cat = f2_pass(s1cat, hp, band, temperature, eps, interpret)
+    return field[:h, :w], (s1cat, logitsT, s1t_cat, d2cat, h, w, hp, wl)
 
 
 def _fused_bwd(band, tau, temperature, eps, test_above, interpret, res, ct):
-    s1cat, logitsT, h, w, hp, wl = res
+    s1cat, logitsT, s1t_cat, d2cat, h, w, hp, wl = res
     ct_p = jnp.pad(ct.astype(jnp.float32), ((0, hp - h), (0, wl - w)))
-    ds1t, ph = b2_pass(s1cat, ct_p, band, temperature, eps, interpret)
+    ds1t, ph = b2_pass(s1cat, ct_p, d2cat, band, temperature, eps, interpret)
     dgray = b1_pass(
-        logitsT, ds1t, hp, w, band, ph, tau, temperature, test_above, interpret
+        logitsT, ds1t, s1t_cat, hp, w, band, ph, tau, temperature, test_above, interpret
     )
     return (dgray[:h, :w],)
 

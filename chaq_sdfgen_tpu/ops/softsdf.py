@@ -170,10 +170,10 @@ def soft_sdf_field(
     """
     band = band if band is not None else spread + 2
     big = big_sentinel(band)
-    # fused-pipeline dispatch (opt-in via CHAQ_SOFT_FUSED=1 while the
-    # fused bwd still trails the composed path — B2 window recompute;
-    # default flips to on once it wins)
-    if os.environ.get("CHAQ_SOFT_FUSED", "0") != "0":
+    # fused-pipeline dispatch — the default TPU path (4-kernel fwd+bwd,
+    # measured 17.9 ms vs 24.3 ms composed at 4K fwd+bwd); opt out with
+    # CHAQ_SOFT_FUSED=0 to force the composed kernels
+    if os.environ.get("CHAQ_SOFT_FUSED", "1") != "0":
         from chaq_sdfgen_tpu.ops import pallas_soft_fused
 
         g2d = gray if gray.ndim == 2 else gray.reshape(-1, *gray.shape[-2:])[0]

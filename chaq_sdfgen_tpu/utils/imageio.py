@@ -159,7 +159,7 @@ def encode_gray(img: np.ndarray, filetype: str, quality: int = 100) -> bytes:
     img = np.ascontiguousarray(img, dtype=np.uint8)
     native = _native_codec()
     if native is not None:
-        out = native.encode_gray(img, filetype)
+        out = native.encode_gray(img, filetype, quality)
         if out is not None:
             return out
     from PIL import Image

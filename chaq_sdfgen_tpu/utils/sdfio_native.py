@@ -40,7 +40,7 @@ def _load():
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        for name in ("png", "bmp", "tga"):
+        for name in ("png", "bmp", "tga", "pnm"):
             dec = getattr(lib, f"sdfio_decode_{name}")
             dec.restype = ctypes.c_int
             dec.argtypes = [
@@ -50,6 +50,7 @@ def _load():
                 ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int),
             ]
+        for name in ("png", "bmp", "tga"):
             enc = getattr(lib, f"sdfio_encode_{name}")
             enc.restype = ctypes.c_int
             enc.argtypes = [
@@ -59,6 +60,15 @@ def _load():
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
                 ctypes.POINTER(ctypes.c_size_t),
             ]
+        lib.sdfio_encode_jpg.restype = ctypes.c_int
+        lib.sdfio_encode_jpg.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
         lib.sdfio_free.restype = None
         lib.sdfio_free.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -74,6 +84,8 @@ def _sniff(data: bytes) -> Optional[str]:
         return "png"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:1] == b"P" and data[1:2] in (b"2", b"3", b"5", b"6"):
+        return "pnm"
     # TGA has no magic; accept via uncompressed type bytes
     if len(data) > 18 and data[1] == 0 and data[2] in (2, 3):
         return "tga"
@@ -101,17 +113,22 @@ def decode_gray_alpha(data: bytes) -> Optional[np.ndarray]:
     return arr.reshape(h.value, w.value, 2)
 
 
-def encode_gray(img: np.ndarray, filetype: str) -> Optional[bytes]:
+def encode_gray(img: np.ndarray, filetype: str, quality: int = 100) -> Optional[bytes]:
     lib = _load()
-    if lib is None or filetype not in ("png", "bmp", "tga"):
+    if lib is None or filetype not in ("png", "bmp", "tga", "jpg"):
         return None
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_size_t()
-    rc = getattr(lib, f"sdfio_encode_{filetype}")(
-        img.tobytes(), w, h, ctypes.byref(out), ctypes.byref(out_len)
-    )
+    if filetype == "jpg":
+        rc = lib.sdfio_encode_jpg(
+            img.tobytes(), w, h, int(quality), ctypes.byref(out), ctypes.byref(out_len)
+        )
+    else:
+        rc = getattr(lib, f"sdfio_encode_{filetype}")(
+            img.tobytes(), w, h, ctypes.byref(out), ctypes.byref(out_len)
+        )
     if rc != 0:
         return None
     try:

@@ -19,7 +19,7 @@ eps = 1e-6
 K = 8
 rng = np.random.default_rng(0)
 
-which = set(sys.argv[1:]) or {"f1", "f2", "b2", "b1"}
+which = set(sys.argv[1:]) or {"f1", "f2", "b2", "b1", "e2e"}
 
 
 def timeit(name, fn, *args):
@@ -47,12 +47,14 @@ def loop(body):
 gray = jnp.asarray((rng.random((N, N)) * 255).astype(np.float32))
 
 # produce realistic intermediates once
-s1cat, logitsT = jax.jit(
+s1cat, logitsT, s1t_cat = jax.jit(
     lambda g: F.f1_pass(g, N, N, band, tau, T, True, jnp.bfloat16, False)
 )(gray)
 s1cat = jax.block_until_ready(s1cat)
 ct = jnp.ones((N, N), jnp.float32)
-ds1t, ph = jax.jit(lambda s, c: F.b2_pass(s, c, band, T, eps, False))(s1cat, ct)
+d2cat = jax.jit(lambda s: F.f2_pass(s, N, band, T, eps, False)[1])(s1cat)
+d2cat = jax.block_until_ready(d2cat)
+ds1t, ph = jax.jit(lambda s, c, d: F.b2_pass(s, c, d, band, T, eps, False))(s1cat, ct, d2cat)
 ds1t = jax.block_until_ready(ds1t)
 ph = int(ph)
 print("shapes:", s1cat.shape, logitsT.shape, ds1t.shape, "ph:", ph, flush=True)
@@ -66,20 +68,48 @@ if "f1" in which:
 if "f2" in which:
     timeit(
         "F2 (S1cat->field)",
-        loop(lambda i, s: jnp.sum(F.f2_pass(s + i.astype(s.dtype), N, band, T, eps, False))),
+        loop(lambda i, s: jnp.sum(F.f2_pass(s + i.astype(s.dtype), N, band, T, eps, False)[0])),
         s1cat,
     )
 if "b2" in which:
     timeit(
         "B2 (S1cat,ct->dS1T)",
-        loop(lambda i, s, c: jnp.sum(F.b2_pass(s, c + i, band, T, eps, False)[0].astype(jnp.float32))),
-        s1cat, ct,
+        loop(lambda i, s, c, d: jnp.sum(F.b2_pass(s, c + i, d, band, T, eps, False)[0].astype(jnp.float32))),
+        s1cat, ct, d2cat,
     )
 if "b1" in which:
     timeit(
         "B1 (logitsT,dS1T->dgray)",
-        loop(lambda i, l, d: jnp.sum(F.b1_pass(l, d + i.astype(d.dtype), N, N, band, ph, tau, T, True, False))),
-        logitsT, ds1t,
+        loop(lambda i, l, d, st: jnp.sum(F.b1_pass(l, d + i.astype(d.dtype), st, N, N, band, ph, tau, T, True, False))),
+        logitsT, ds1t, s1t_cat,
+    )
+
+if "e2e" in which:
+    # SGD-on-pixels loop (the soft path's real training pattern): the
+    # gradient is consumed by the update, which also varies the input so
+    # nothing folds across iterations
+    def e2e(g0):
+        def body(i, carry):
+            g, acc = carry
+            v, gr = jax.value_and_grad(
+                lambda x: jnp.sum(
+                    F.soft_sdf_field_fused(x, band, tau, T, eps, True, False)
+                )
+            )(g)
+            return (g - jnp.float32(1e-6) * gr, acc + v)
+
+        _, acc = jax.lax.fori_loop(0, K, body, (g0, jnp.float32(0)))
+        return acc
+
+    timeit("fused e2e fwd+bwd (SGD loop)", e2e, gray)
+
+if "fwdonly" in which:
+    timeit(
+        "fused fwd only (F1+F2)",
+        loop(lambda i, g: jnp.sum(
+            F.soft_sdf_field_fused(g + i, band, tau, T, eps, True, False)
+        )),
+        gray,
     )
 
 import os

@@ -90,3 +90,89 @@ def test_sample_input_native_equals_pil():
 
 def test_unsupported_falls_back():
     assert sdfio_native.decode_gray_alpha(b"\xff\xd8\xff\xe0 jpeg-ish") is None
+
+
+def test_jpeg_encode_native_quality():
+    """Baseline JPEG with the -q quality knob (openmp/sdfgen.c:327-333):
+    PIL-decodable, monotone size in quality, high PSNR at q>=95."""
+    x = np.linspace(0, 255, 96)
+    img = (np.add.outer(x, x) / 2).astype(np.uint8)
+    img[20:40, 20:60] = 255
+    sizes = {}
+    for q in (10, 50, 95):
+        data = sdfio_native.encode_gray(img, "jpg", q)
+        assert data is not None
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        dec = np.asarray(Image.open(io.BytesIO(data)).convert("L"), dtype=np.float64)
+        assert dec.shape == img.shape
+        mse = ((dec - img) ** 2).mean()
+        psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+        sizes[q] = len(data)
+        if q >= 95:
+            assert psnr > 40, psnr
+        else:
+            assert psnr > 25, psnr
+    assert sizes[10] < sizes[50] < sizes[95], sizes
+
+
+def test_jpeg_encode_odd_sizes():
+    # non-multiple-of-8 dims exercise the edge-replication padding
+    rng = np.random.default_rng(3)
+    for shape in ((1, 1), (7, 9), (17, 23)):
+        img = (rng.random(shape) * 255).astype(np.uint8)
+        data = sdfio_native.encode_gray(img, "jpg", 90)
+        assert data is not None
+        dec = Image.open(io.BytesIO(data))
+        assert dec.size == (shape[1], shape[0])
+
+
+def test_jpeg_end_to_end_write_gray():
+    """write_gray with -f jpg goes through the native encoder and the
+    result decodes to roughly the source (VERDICT: test -q end-to-end)."""
+    import tempfile, os
+    from chaq_sdfgen_tpu.utils.imageio import write_gray
+
+    x = np.linspace(0, 255, 64)
+    img = (np.add.outer(x, x) / 2).astype(np.uint8)
+    with tempfile.TemporaryDirectory() as d:
+        sizes = []
+        for q in (20, 95):
+            p = os.path.join(d, f"o{q}.jpg")
+            write_gray(img, p, quality=q)
+            dec = np.asarray(Image.open(p).convert("L"), dtype=np.float64)
+            assert 10 * np.log10(255**2 / max(((dec - img) ** 2).mean(), 1e-9)) > 25
+            sizes.append(os.path.getsize(p))
+        assert sizes[0] < sizes[1]
+
+
+def test_pnm_decode_native():
+    # P5 raw + P2 ascii (with comment) + P6 RGB luminance
+    pgm5 = b"P5\n# c\n4 3\n255\n" + bytes(range(12))
+    out = sdfio_native.decode_gray_alpha(pgm5)
+    assert out is not None and out.shape == (3, 4, 2)
+    np.testing.assert_array_equal(out[..., 0].ravel(), np.arange(12, dtype=np.uint8))
+    assert (out[..., 1] == 255).all()
+    pgm2 = b"P2\n4 3\n255\n" + b" ".join(str(i).encode() for i in range(12))
+    np.testing.assert_array_equal(sdfio_native.decode_gray_alpha(pgm2), out)
+    ppm = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0])
+    out3 = sdfio_native.decode_gray_alpha(ppm)
+    want = np.array([(255 * 77) >> 8, (255 * 150) >> 8], dtype=np.uint8)
+    np.testing.assert_array_equal(out3[0, :, 0], want)
+
+
+def test_gif_and_pnm_inputs_end_to_end():
+    """stb_image reads GIF/PNM (openmp/sdfgen.c:252-256 inherits it);
+    GIF goes via the PIL fallback, PNM via the native decoder."""
+    from chaq_sdfgen_tpu.utils.imageio import decode_gray_alpha as dec
+
+    rng = np.random.default_rng(4)
+    arr = (rng.random((11, 13)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "L").save(buf, format="GIF")
+    out = dec(buf.getvalue())
+    assert out.shape == (11, 13, 2)  # GIF palette-quantizes losslessly for gray
+    np.testing.assert_array_equal(out[..., 0], arr)
+    buf2 = io.BytesIO()
+    Image.fromarray(arr, "L").save(buf2, format="PPM")
+    out2 = dec(buf2.getvalue())
+    np.testing.assert_array_equal(out2[..., 0], arr)

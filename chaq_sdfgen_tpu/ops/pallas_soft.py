@@ -72,6 +72,9 @@ def _softmin_fwd_kernel(gext_ref, out_ref, acc_ref, seg_ref, sm_ref, *, band, h,
     nseg = (hrows + _SEG - 1) // _SEG
     for s in range(nseg):
         seg_ref[s] = jnp.min(gext_ref[s * _SEG : min((s + 1) * _SEG, hrows), :])
+    strip_min = jax.lax.fori_loop(
+        0, nseg, lambda s, mv: jnp.minimum(mv, seg_ref[s]), jnp.float32(3e38)
+    )
 
     def win_min(lo_row: int, hi_row: int):
         """Min of the strip over static row range [lo_row, hi_row)."""
@@ -162,7 +165,16 @@ def _softmin_fwd_kernel(gext_ref, out_ref, acc_ref, seg_ref, sm_ref, *, band, h,
 
             return jax.lax.cond(jnp.logical_or(run1, run2), with_blk, lambda a: a, acc)
 
-        acc = jax.lax.fori_loop(0, n_groups, group, jnp.zeros((rc, tn), jnp.float32))
+        # group loop only over the contiguous range that can pass the
+        # bound (any active tap needs dy^2 <= thresh - strip_min); dmax
+        # clamped before the int conversion — huge values wrap int32
+        dmax = jnp.minimum(
+            jnp.sqrt(jnp.maximum(thresh - strip_min, jnp.float32(0.0))),
+            jnp.float32(band + 8),
+        )
+        j_lo = jnp.clip(((jnp.float32(band) - dmax) / 8.0).astype(jnp.int32), 0, n_groups)
+        j_hi = jnp.clip(((jnp.float32(band) + dmax) / 8.0).astype(jnp.int32) + 1, 0, n_groups)
+        acc = jax.lax.fori_loop(j_lo, j_hi, group, jnp.zeros((rc, tn), jnp.float32))
         out_ref[r : r + rc, :] = m - t * jnp.log(acc)
 
 
@@ -236,8 +248,13 @@ def _softmin_bwd_kernel(gext_hbm, spad_hbm, ctpad_hbm, dg_ref, gv, sv, cv, sem, 
 
             return jax.lax.cond(jnp.logical_or(run1, run2), with_blk, lambda a: a, acc)
 
+        dmax = jnp.minimum(
+            jnp.sqrt(jnp.maximum(thresh, jnp.float32(0.0))), jnp.float32(band + 8)
+        )
+        j_lo = jnp.clip(((jnp.float32(band) - dmax) / 8.0).astype(jnp.int32), 0, n_groups)
+        j_hi = jnp.clip(((jnp.float32(band) + dmax) / 8.0).astype(jnp.int32) + 1, 0, n_groups)
         dg_ref[r : r + rc, :] = jax.lax.fori_loop(
-            0, n_groups, group, jnp.zeros((rc, tn), jnp.float32)
+            j_lo, j_hi, group, jnp.zeros((rc, tn), jnp.float32)
         )
 
 

@@ -32,11 +32,12 @@ cost ~a copy on v5e; a round-tripped XLA transpose costs ~4 ms at 4K):
       heights/threshold chain rule, accumulates both fields, and
       transposes the final gradient back to natural layout.
 
-Numerics: all band math is f32 in VMEM. S1/dS1/logits cross HBM as bf16;
-the fwd consumes the SAME rounded S1 the bwd differentiates through, so
-softmax weights stay exactly normalized (rounding is handled as a
-straight-through pass, standard mixed-precision practice). d2 and S1 are
-recomputed rather than rounded wherever they normalize an exp.
+Numerics: all band math is f32 in VMEM. S1, logits and the memoized
+residuals (S1T, d2) cross HBM as exact f32: bf16 S1 storage was measured
+to reroute near-tied soft-min weights (exp((S - g)/T) amplifies the
+0.4% rounding), flipping isolated pixel gradients by O(1) vs f32 math.
+Only the dS1 cotangent crosses as bf16 — pure relative rounding of a
+linear quantity, no exp amplification.
 
 Both adaptive phases use per-64-row segment min/max tables for their
 skip bounds (see pallas_soft._softmin_fwd_kernel): work is skipped only
@@ -111,6 +112,12 @@ def _build_seg_min(ref, seg_ref, nrows, *, seg0=0):
     return nseg
 
 
+def _seg_global(seg_ref, nseg, *, seg0=0, op=jnp.minimum, init=3e38):
+    return jax.lax.fori_loop(
+        0, nseg, lambda s, mv: op(mv, seg_ref[seg0 + s]), jnp.float32(init)
+    )
+
+
 def _win_min(seg_ref, lo_row: int, hi_row: int, nrows: int, *, seg0=0):
     lo_s = max(lo_row, 0) // _SEG
     hi_s = (min(hi_row, nrows) + _SEG - 1) // _SEG
@@ -171,12 +178,29 @@ def _chunk_softmin(ref, off, r, rc, band, t, seg_ref, nrows, sm_ref, acc_ref, *,
     thresh = sm_ref[0] + jnp.float32(_UNDERFLOW) * tf
 
     # ---- phase B: adaptive exp-sum over 8-aligned slabs, each slab's
-    # two 4-tap halves independently bound-checked ----
+    # two 4-tap halves independently bound-checked. The group loop runs
+    # only over the contiguous range that can possibly pass the bound
+    # (any active tap needs dy^2 <= thresh - strip_min, strip_min =
+    # sm_ref[1] set by the caller): for dense-seed images that is ~2-3
+    # groups instead of all ceil((2B+1)/8) — the per-group bound checks
+    # themselves (SMEM scans + branches) were a measurable cost ----
     n_groups = (2 * band + 1 + 7) // 8
     delta = off % 8
     al = off - delta
     lanes = m.shape[1]
     nseg = (nrows + _SEG - 1) // _SEG
+    # clamp BEFORE the int conversion: a sentinel-dominated strip yields
+    # dmax ~ 1e15 and float->int32 wraps, which would empty the range
+    dmax = jnp.minimum(
+        jnp.sqrt(jnp.maximum(thresh - sm_ref[1], jnp.float32(0.0))),
+        jnp.float32(band + 8),
+    )
+    j_lo = jnp.clip(
+        ((jnp.float32(band) - dmax) / 8.0).astype(jnp.int32), 0, n_groups
+    )
+    j_hi = jnp.clip(
+        ((jnp.float32(band) + dmax) / 8.0).astype(jnp.int32) + 1, 0, n_groups
+    )
 
     def half_dymin(klo, khi):
         # min |k - band| over k in [klo, khi] (f32 scalars)
@@ -216,15 +240,16 @@ def _chunk_softmin(ref, off, r, rc, band, t, seg_ref, nrows, sm_ref, acc_ref, *,
 
         return jax.lax.cond(jnp.logical_or(run1, run2), with_blk, lambda a: a, s)
 
-    ssum = jax.lax.fori_loop(0, n_groups, group, jnp.zeros((rc, lanes), jnp.float32))
+    ssum = jax.lax.fori_loop(j_lo, j_hi, group, jnp.zeros((rc, lanes), jnp.float32))
     return m - tf * jnp.log(ssum)
 
 
-def _chunk_weight_sum(s_ref, v_ref, off, r, rc, band, t, g_chunk, segmax_ref, nrows, *, seg0=0):
+def _chunk_weight_sum(s_ref, v_ref, off, r, rc, band, t, g_chunk, segmax_ref, nrows, smax_glob, *, seg0=0):
     """Banded softmax-weight pass for output rows [r, r+rc) (r 8-aligned):
       out[p] = sum_k exp((S[row] - (k-band)^2 - g[p]) / T) * V[row],
       row = off + p + k,  k in [0, 2*band].
-    segmax_ref: per-_SEG maxima of s_ref rows (underflow skip bound)."""
+    segmax_ref: per-_SEG maxima of s_ref rows (underflow skip bound);
+    smax_glob: their global max (bounds the group loop's range)."""
     inv_t = jnp.float32(1.0 / t)
     tf = jnp.float32(t)
     n_groups = (2 * band + 1 + 7) // 8
@@ -233,6 +258,17 @@ def _chunk_weight_sum(s_ref, v_ref, off, r, rc, band, t, g_chunk, segmax_ref, nr
     lanes = g_chunk.shape[1]
     g_min = jnp.min(g_chunk)
     nseg = (nrows + _SEG - 1) // _SEG
+    # any live weight needs dy^2 <= max S - min g + _CUT*T; the active
+    # groups form a contiguous range around the band center (dmax clamped
+    # before the int conversion — huge values wrap int32)
+    dmax = jnp.minimum(
+        jnp.sqrt(
+            jnp.maximum(smax_glob - g_min + jnp.float32(_UNDERFLOW) * tf, jnp.float32(0.0))
+        ),
+        jnp.float32(band + 8),
+    )
+    j_lo = jnp.clip(((jnp.float32(band) - dmax) / 8.0).astype(jnp.int32), 0, n_groups)
+    j_hi = jnp.clip(((jnp.float32(band) + dmax) / 8.0).astype(jnp.int32) + 1, 0, n_groups)
 
     def half_dymin(klo, khi):
         lo1 = jnp.abs(klo - jnp.float32(band))
@@ -279,7 +315,7 @@ def _chunk_weight_sum(s_ref, v_ref, off, r, rc, band, t, g_chunk, segmax_ref, nr
 
         return jax.lax.cond(jnp.logical_or(run1, run2), with_blk, lambda a: a, s)
 
-    return jax.lax.fori_loop(0, n_groups, group, jnp.zeros((rc, lanes), jnp.float32))
+    return jax.lax.fori_loop(j_lo, j_hi, group, jnp.zeros((rc, lanes), jnp.float32))
 
 
 def _transpose_into(dst_ref, src, col0):
@@ -347,7 +383,7 @@ def _f1_kernel(
                 )
 
         nseg = _build_seg_min(hs_ref, seg_ref, e1)
-        del nseg
+        sm_ref[1] = _seg_global(seg_ref, nseg)  # strip min: bounds phase B's group range
         # memoized-S1T pad slabs (the weight-pass geometry B1 shares with
         # ds1t): rows [0, ph) and [ph+wl, 2ph+wl) read as -huge
         s1t_ref[0:ph, :] = jnp.full((ph, _TM), _NEG_HUGE, jnp.float32)
@@ -405,7 +441,7 @@ def f1_pass(gray_p, w_real, h_real, band, tau, temperature, test_above, s1_dtype
         ],
         out_shape=[
             jax.ShapeDtypeStruct(((nb + 2) * _TM, 2 * wl), s1_dtype),
-            jax.ShapeDtypeStruct((wl, hp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((wl, hp), jnp.float32),
             jax.ShapeDtypeStruct((2 * prows, (nb + 2) * _TM), jnp.float32),
         ],
         scratch_shapes=[
@@ -430,19 +466,22 @@ def _f2_kernel(sin_ref, sout_ref, field_ref, d2cat_ref, wide_ref, acc_ref, seg_r
     rrows = sin_ref.shape[0]
     off = _TM - band
     e = jnp.float32(eps)
-    # per field: widen the bf16 strip ONCE into f32 scratch (the band
-    # stencil slices it ~25x per chunk — per-slice converts dominate),
-    # then run all chunks; the field combine reads d2_in back from the
-    # already-written output block
+    # per field: if the strip is bf16, widen ONCE into f32 scratch (the
+    # band stencil slices it ~25x per chunk — per-slice converts
+    # dominate); f32 strips are used in place. The field combine reads
+    # d2_in back from the already-written output block.
     for fi, src in ((0, sin_ref), (1, sout_ref)):
-        for rr in range(0, rrows, 512):
-            rcw = min(512, rrows - rr)
-            wide_ref[rr : rr + rcw, :] = src[rr : rr + rcw, :].astype(jnp.float32)
-        _build_seg_min(wide_ref, seg_ref, rrows, seg0=0)
+        if src.dtype != jnp.float32:
+            for rr in range(0, rrows, 512):
+                rcw = min(512, rrows - rr)
+                wide_ref[rr : rr + rcw, :] = src[rr : rr + rcw, :].astype(jnp.float32)
+            src = wide_ref
+        nsegf = _build_seg_min(src, seg_ref, rrows, seg0=0)
+        sm_ref[1] = _seg_global(seg_ref, nsegf)
         for r in range(0, hp, _CHUNK):
             rc = min(_CHUNK, hp - r)
             d2 = _chunk_softmin(
-                wide_ref, off, r, rc, band, temperature, seg_ref, rrows, sm_ref, acc_ref, seg0=0
+                src, off, r, rc, band, temperature, seg_ref, rrows, sm_ref, acc_ref, seg0=0
             )
             d2cat_ref[fi * hp + r : fi * hp + r + rc, :] = d2
             if fi == 1:
@@ -532,13 +571,14 @@ def _b2_kernel(
         nsw = (wrows + _SEG - 1) // _SEG
         for s in range(nsw):
             segw_ref[s] = jnp.max(d2w_ref[s * _SEG : min((s + 1) * _SEG, wrows), :])
+        smax_glob = _seg_global(segw_ref, nsw, op=jnp.maximum, init=_NEG_HUGE)
         # ---- weight pass: scratch row of (p, k) = pad0 + p + (k - band) ----
         for r in range(0, hp, _CHUNK):
             rc = min(_CHUNK, hp - r)
             g_chunk = _read_f32(s1_ref, slice(_TM + r, _TM + r + rc))
             ds1 = _chunk_weight_sum(
                 d2w_ref, ct2w_ref, pad0 - band, r, rc, band, temperature,
-                g_chunk, segw_ref, wrows,
+                g_chunk, segw_ref, wrows, smax_glob,
             )
             _transpose_into(ds1t_ref, ds1, r)
 
@@ -641,6 +681,7 @@ def _b1_kernel(
     nsx = (prows + _SEG - 1) // _SEG
     for s in range(nsx):
         segx_ref[s] = jnp.max(s1t_ref[s * _SEG : min((s + 1) * _SEG, prows), :])
+    smax_glob = _seg_global(segx_ref, nsx, op=jnp.maximum, init=_NEG_HUGE)
 
     # weight pass + heights/threshold chain rule, accumulated over fields
     for r in range(0, wl, _CHUNK):
@@ -648,7 +689,7 @@ def _b1_kernel(
         g_chunk = hs_ref[band + r : band + r + rc, :]
         dh = _chunk_weight_sum(
             s1t_ref, dsw_ref, ph - band, r, rc, band, temperature,
-            g_chunk, segx_ref, prows,
+            g_chunk, segx_ref, prows, smax_glob,
         )
         l = logitsT_ref[r : r + rc, :].astype(jnp.float32) * sgn
         sig = _sigmoid(-l)
@@ -727,7 +768,7 @@ def _fused_fwd(gray, band, tau, temperature, eps, test_above, interpret):
     wl = _round_up(max(w, 128), 128)
     gray_p = jnp.pad(gray.astype(jnp.float32), ((0, hp - h), (0, wl - w)))
     s1cat, logitsT, s1t_cat = f1_pass(
-        gray_p, w, h, band, tau, temperature, test_above, jnp.bfloat16, interpret
+        gray_p, w, h, band, tau, temperature, test_above, jnp.float32, interpret
     )
     field, d2cat = f2_pass(s1cat, hp, band, temperature, eps, interpret)
     return field[:h, :w], (s1cat, logitsT, s1t_cat, d2cat, h, w, hp, wl)

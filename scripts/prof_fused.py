@@ -48,7 +48,7 @@ gray = jnp.asarray((rng.random((N, N)) * 255).astype(np.float32))
 
 # produce realistic intermediates once
 s1cat, logitsT, s1t_cat = jax.jit(
-    lambda g: F.f1_pass(g, N, N, band, tau, T, True, jnp.bfloat16, False)
+    lambda g: F.f1_pass(g, N, N, band, tau, T, True, jnp.float32, False)
 )(gray)
 s1cat = jax.block_until_ready(s1cat)
 ct = jnp.ones((N, N), jnp.float32)
@@ -62,7 +62,7 @@ print("shapes:", s1cat.shape, logitsT.shape, ds1t.shape, "ph:", ph, flush=True)
 if "f1" in which:
     timeit(
         "F1 (gray->S1cat+logitsT)",
-        loop(lambda i, g: jnp.sum(F.f1_pass(g + i, N, N, band, tau, T, True, jnp.bfloat16, False)[0].astype(jnp.float32))),
+        loop(lambda i, g: jnp.sum(F.f1_pass(g + i, N, N, band, tau, T, True, jnp.float32, False)[0].astype(jnp.float32))),
         gray,
     )
 if "f2" in which:

@@ -113,3 +113,39 @@ def test_fused_grad_finite_difference():
         gm = gray.copy(); gm[y, x] -= eps
         fd = (float(f(jnp.asarray(gp))) - float(f(jnp.asarray(gm)))) / (2 * eps)
         assert abs(fd - grad[y, x]) <= 3e-2 + 0.08 * abs(fd), (y, x, fd, grad[y, x])
+
+
+def test_fused_grad_fidelity_multiblock():
+    """Regression: at shapes with multiple TM row-blocks (nb >= 2), bf16
+    inter-pass S1 storage rerouted near-tied soft-min weights and flipped
+    isolated pixel gradients by O(1) vs the f32 composed path. With f32
+    S1/logits storage (only the dS1 cotangent is bf16) the fused gradient
+    must track the composed path tightly everywhere."""
+    from chaq_sdfgen_tpu.ops import softsdf
+
+    rng = np.random.default_rng(7)
+    h, w, spread, tau, t = 150, 117, 6, 2.0, 1.0
+    band = spread + 2
+    gray = jnp.asarray((rng.random((h, w)) * 255).astype(np.float32))
+    wv = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+
+    g_f = np.asarray(
+        jax.grad(
+            lambda g: jnp.vdot(
+                fused.soft_sdf_field_fused(g, band, tau, t, 1e-6, True, True), wv
+            )
+        )(gray)
+    )
+    g_c = np.asarray(
+        jax.grad(
+            lambda g: jnp.vdot(
+                softsdf.soft_sdf_field(g, spread, tau=tau, temperature=t), wv
+            )
+        )(gray)
+    )
+    scale = max(np.abs(g_c).max(), 1e-6)
+    assert np.abs(g_f - g_c).max() < 1e-2 * scale, np.abs(g_f - g_c).max()
+    # forward too: f32 storage keeps values at f32-rounding agreement
+    v_f = np.asarray(fused.soft_sdf_field_fused(gray, band, tau, t, 1e-6, True, True))
+    v_c = np.asarray(softsdf.soft_sdf_field(gray, spread, tau=tau, temperature=t))
+    np.testing.assert_allclose(v_f, v_c, rtol=1e-4, atol=1e-4)

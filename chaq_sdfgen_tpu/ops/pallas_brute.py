@@ -144,14 +144,21 @@ def _brute_kernel(
         dtmp_ref[0:rc, :] = scan_polarity(st_l1, st_l2, st_r1, st_r2, 0, r, rc)
         d2f = scan_polarity(sf_l1, sf_l2, sf_r1, sf_r2, nseg, r, rc)
         d2t = dtmp_ref[0:rc, :]
-        bv = b_ref[r : r + rc, :] > jnp.uint8(0)
+        # widen before comparing: v5e Mosaic can't compare u8 vectors
+        bv = b_ref[r : r + rc, :].astype(jnp.int32) > jnp.int32(0)
         d2 = jnp.where(bv, d2f, d2t)
         found = d2 <= jnp.float32(spread * spread)
         d = _refined_sqrt_inline(d2)
-        # OpenCL tail (opencl/sdf.cl:206-223): decider = invert ^ val
-        decider = jnp.logical_xor(bool(invert), bv)
-        signed = jnp.where(decider, d, -(d + jnp.float32(-1.0)))
-        fallback = jnp.where(decider, bigf, -bigf)
+        # OpenCL tail (opencl/sdf.cl:206-223): decider = invert ^ val.
+        # invert is static, and the sign select is arithmetic: a
+        # jnp.where with an i1 VECTOR cond and two SCALAR branches makes
+        # Mosaic relayout the cond into the scalars' replicated layout
+        # ("non-singleton dim replicated in destination") and fail.
+        decider_f = (jnp.logical_not(bv) if invert else bv).astype(jnp.float32)
+        sign = jnp.float32(2.0) * decider_f - jnp.float32(1.0)
+        # decider ? d : -(d - 1)  ==  sign*d + (1 - decider)
+        signed = sign * d + (jnp.float32(1.0) - decider_f)
+        fallback = sign * bigf
         dist = jnp.where(found, signed, fallback)
         v = jnp.minimum(dist, src_max)
         v = jnp.maximum(v, src_min)

@@ -49,96 +49,28 @@ def _refined_sqrt_inline(n):
 _ROW_CHUNK = 512  # rows processed per inner step: bounds live temporaries
 
 
-def _row_pass_kernel(b_ref, din_ref, dout_ref, *, w, band, chunk, w_actual):
-    """Pass 1 in VMEM: per-row distance to nearest seed (and nearest
-    non-seed), both polarities in one kernel. b: (TM, W) uint8 in {0,1};
-    outputs u8 distances clipped at min(band+1, 255).
+def _sweep_scratch(dscr, w_rows):
+    """Two-sweep 1-D chamfer along sublanes over a (w_rows, L) i32 scratch
+    seeded with 0/inf indicators (exact for L1): down then up, 8-row
+    blocks via three intra-block log-jump shifts plus a carried last-row
+    vector, as a fori_loop with 8-aligned dynamic starts.
 
-    The sequential FH envelope scan (openmp/df.c:57-79) is replaced by a
-    log-jump min-plus propagation along lanes: d = min(d, d<<s + s) for
-    s = 1,2,4,... — every offset decomposes into distinct powers of two,
-    so after log2(W) steps d is the exact 1-D distance. Wrapped lanes from
-    the circular roll are masked to +inf via a lane-index compare.
-
-    The jump chains are lax.fori_loop with dynamic shifts on purpose:
-    Mosaic miscompiles kernels containing more than one fully-unrolled
-    roll chain (observed on v5e: the later chains' distances collapse;
-    a single unrolled chain at <=8 sublanes is fine, two chains or 16
-    sublanes are not)."""
-    tm = b_ref.shape[0]
-    n_steps = max(1, (w - 1).bit_length())
+    Why this shape (all observed on v5e): lane-direction rolls are ~50x
+    slower than sublane ops, so the scan axis lives on sublanes; Mosaic
+    miscompiles kernels containing more than one fully-unrolled roll
+    chain, so the sweeps are fori_loops; dynamic sublane starts must be
+    provably 8-aligned (pl.multiple_of)."""
+    lanes = dscr.shape[1]
     inf = jnp.int32(1 << 20)
-    clipv = jnp.int32(min(band + 1, 255))
-
-    for r in range(0, tm, chunk):
-        rc = min(chunk, tm - r)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (rc, w), 1)
-        # lanes beyond the real image width are NEITHER inside nor outside
-        # seeds (no pixels exist there; cf. the boundary clamps at
-        # opencl/sdf.cl:106-127)
-        valid = lane < jnp.int32(w_actual)
-        seeds = b_ref[r : r + rc, :].astype(jnp.int32)
-
-        def field(seed_mask):
-            seed_mask = jnp.logical_and(seed_mask, valid)
-            # distance to nearest seed on the left / right via log jumps
-            d = jnp.where(seed_mask, jnp.int32(0), inf)
-
-            def body_l(i, dl):
-                st = jnp.int32(1) << i
-                shifted = pltpu.roll(dl, st, 1)  # lane j <- dl[j - st]
-                shifted = jnp.where(lane >= st, shifted, inf)
-                return jnp.minimum(dl, shifted + st)
-
-            def body_r(i, dr):
-                st = jnp.int32(1) << i
-                # circular roll takes non-negative shifts: w - st == -st
-                shifted = pltpu.roll(dr, jnp.int32(w) - st, 1)  # j <- dr[j + st]
-                shifted = jnp.where(lane < jnp.int32(w) - st, shifted, inf)
-                return jnp.minimum(dr, shifted + st)
-
-            dl = jax.lax.fori_loop(0, n_steps, body_l, d)
-            dr = jax.lax.fori_loop(0, n_steps, body_r, d)
-            return jnp.minimum(jnp.minimum(dl, dr), clipv)
-
-        din_ref[r : r + rc, :] = field(seeds > 0).astype(jnp.uint8)
-        dout_ref[r : r + rc, :] = field(seeds == 0).astype(jnp.uint8)
-
-
-def _row_pass_sweep_kernel(bt_ref, dint_ref, doutt_ref, dscr, *, w_rows, w_actual, band):
-    """Pass 1 on the TRANSPOSED image: bt (W, TN) u8 where axis 0 is the
-    original x (the scan axis) and lanes are original rows. Outputs
-    transposed u8 distances for both polarities.
-
-    Lane-direction rolls measured ~50x slower than plain VPU ops on v5e,
-    so the scan runs along SUBLANES instead: the classic two-sweep 1-D
-    chamfer (down then up, in place — exact for L1) with both fields
-    stacked along lanes, 8-row blocks updated via three intra-block
-    log-jump shifts plus a carried last-row vector, all as a fori_loop
-    (dynamic 8-aligned block indices; long unrolled chains miscompile).
-    ~24 cheap ops per element vs the roll version's shuffle storm."""
-    tn = bt_ref.shape[1]
-    inf = jnp.int32(1 << 20)
-    clipv = jnp.int32(min(band + 1, 255))
     nblk = w_rows // 8
-
-    # init: both polarity indicator fields side by side along lanes
-    xs = jax.lax.broadcasted_iota(jnp.int32, (w_rows, tn), 0)
-    valid = xs < jnp.int32(w_actual)
-    seeds = bt_ref[:, :].astype(jnp.int32)
-    d_in0 = jnp.where(jnp.logical_and(seeds > 0, valid), jnp.int32(0), inf)
-    d_out0 = jnp.where(jnp.logical_and(seeds == 0, valid), jnp.int32(0), inf)
-    dscr[:, 0:tn] = d_in0
-    dscr[:, tn : 2 * tn] = d_out0
-
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * tn), 0)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
 
     def shift_down(blk, st):
-        top = jnp.full((st, 2 * tn), inf, jnp.int32)
+        top = jnp.full((st, lanes), inf, jnp.int32)
         return jnp.concatenate([top, blk[: 8 - st, :]], axis=0)
 
     def shift_up(blk, st):
-        bot = jnp.full((st, 2 * tn), inf, jnp.int32)
+        bot = jnp.full((st, lanes), inf, jnp.int32)
         return jnp.concatenate([blk[st:, :], bot], axis=0)
 
     def down_body(i, carry):
@@ -150,7 +82,7 @@ def _row_pass_sweep_kernel(bt_ref, dint_ref, doutt_ref, dscr, *, w_rows, w_actua
         dscr[pl.ds(base, 8), :] = blk
         return blk[7:8, :]
 
-    carry0 = jnp.full((1, 2 * tn), inf, jnp.int32)
+    carry0 = jnp.full((1, lanes), inf, jnp.int32)
     jax.lax.fori_loop(0, nblk, down_body, carry0)
 
     def up_body(i, carry):
@@ -164,9 +96,40 @@ def _row_pass_sweep_kernel(bt_ref, dint_ref, doutt_ref, dscr, *, w_rows, w_actua
 
     jax.lax.fori_loop(0, nblk, up_body, carry0)
 
-    d = jnp.minimum(dscr[:, :], clipv)
-    dint_ref[:, :] = d[:, 0:tn].astype(jnp.uint8)
-    doutt_ref[:, :] = d[:, tn : 2 * tn].astype(jnp.uint8)
+
+def _row_pass_block_kernel(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band):
+    """Pass 1 with the transposes fused in: one program per TM-row block
+    of the NATURAL-layout image. The block is transposed in VMEM (512-col
+    chunks), both polarity fields sweep along sublanes in one scratch, and
+    the clipped u8 distances are transposed back on write — replacing the
+    three XLA u8 transposes of the standalone path with in-kernel ones."""
+    tm = b_ref.shape[0]
+    inf = jnp.int32(1 << 20)
+    clipv = jnp.int32(min(band + 1, 255))
+
+    for c in range(0, wp, 512):
+        cc = min(512, wp - c)
+        blk = b_ref[:, c : c + cc].astype(jnp.int32).T  # (cc, TM)
+        if c + cc > w_actual:
+            xs = jax.lax.broadcasted_iota(jnp.int32, (cc, tm), 0) + jnp.int32(c)
+            valid = xs < jnp.int32(w_actual)
+        else:
+            valid = None
+        seed_in = blk > 0
+        seed_out = blk == 0
+        if valid is not None:
+            seed_in = jnp.logical_and(seed_in, valid)
+            seed_out = jnp.logical_and(seed_out, valid)
+        dscr[c : c + cc, 0:tm] = jnp.where(seed_in, jnp.int32(0), inf)
+        dscr[c : c + cc, tm : 2 * tm] = jnp.where(seed_out, jnp.int32(0), inf)
+
+    _sweep_scratch(dscr, wp)
+
+    for c in range(0, wp, 512):
+        cc = min(512, wp - c)
+        d = jnp.minimum(dscr[c : c + cc, :], clipv)
+        din_ref[:, c : c + cc] = d[:, 0:tm].T.astype(jnp.uint8)
+        dout_ref[:, c : c + cc] = d[:, tm : 2 * tm].T.astype(jnp.uint8)
 
 
 def _fused_kernel(din_ref, dout_ref, out_ref, gin_ref, gout_ref, *, band, h, spread, asymmetric, sq_dtype):
@@ -334,31 +297,30 @@ def row_distances_u8(
     if interpret is None:
         interpret = not _is_tpu()
     h, w = b.shape
-    hp = _round_up(h, 8)
     wp = _round_up(w, 128)
-    # transposed image: the scan rides sublanes; see _row_pass_sweep_kernel
-    hpa = _round_up(hp, 128)
-    b_t = jnp.pad(b.astype(jnp.uint8), ((0, hpa - h), (0, wp - w))).T  # (wp, hpa)
-    tn1 = 128
+    tm = 128
+    hpa = _round_up(h, tm)
+    b_p = jnp.pad(b.astype(jnp.uint8), ((0, hpa - h), (0, wp - w)))
     kern_a = functools.partial(
-        _row_pass_sweep_kernel, w_rows=wp, w_actual=w, band=band
+        _row_pass_block_kernel, wp=wp, w_actual=w, band=band
     )
-    din_t, dout_t = pl.pallas_call(
+    din, dout = pl.pallas_call(
         kern_a,
-        grid=(hpa // tn1,),
-        in_specs=[pl.BlockSpec((wp, tn1), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        grid=(hpa // tm,),
+        in_specs=[pl.BlockSpec((tm, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((wp, tn1), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, tn1), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((wp, hpa), jnp.uint8),
-            jax.ShapeDtypeStruct((wp, hpa), jnp.uint8),
+            jax.ShapeDtypeStruct((hpa, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((hpa, wp), jnp.uint8),
         ],
-        scratch_shapes=[pltpu.VMEM((wp, 2 * tn1), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((wp, 2 * tm), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(b_t)
-    return din_t.T[:h, :w], dout_t.T[:h, :w]
+    )(b_p)
+    return din[:h, :w], dout[:h, :w]
 
 
 def fused_pass2_bytes(
@@ -416,6 +378,9 @@ def fused_pass2_bytes(
             pltpu.VMEM((hp + 2 * band, tn), jnp.float32),
             pltpu.VMEM((hp + 2 * band, tn), jnp.float32),
         ] + extra_scratch,
+        # vmapped batch shapes push the compiler's scoped (stack) vmem
+        # past the 16 MB default (seen at (8, 1024, 1024): 17.15 MB)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(din_ext, dout_ext)
     return out[:, :w]

@@ -35,31 +35,49 @@ def row_seed_distances(seeds: jnp.ndarray, sentinel: int):
     (L2/R2) seed at-or-left / at-or-right in the row (last axis). Distances
     are clipped at ``sentinel``; missing seeds read as ``sentinel``.
 
-    The 2nd-nearest is recovered with one gather: the nearest seed at or
-    before (pos1 - 1) where pos1 is the nearest seed position."""
+    Gather-free (TPU gathers along lanes cost ~100x a cummax pass —
+    measured 800 ms at 4K with the take_along_axis formulation): the
+    inter-seed gap is packed into the cummax carry's low bits
+    (pack = pos * G + min(gap, sent), G a power of two > sent), so the
+    same segment-carry that finds the nearest seed also delivers that
+    seed's distance to ITS previous seed; L2 = L1 + carried gap."""
     ndim = seeds.ndim
     axis = ndim - 1
+    w = seeds.shape[-1]
     idx = lax.broadcasted_iota(jnp.int32, seeds.shape, axis)
     none = jnp.int32(-(1 << 30))
     sent = jnp.int32(sentinel)
+    gbits = max(int(sentinel).bit_length(), 1)
+    g = jnp.int32(1 << gbits)
+    gmask = jnp.int32((1 << gbits) - 1)
+    pad = [(0, 0)] * ndim
+    pad[axis] = (1, 0)
 
     fwd = lax.cummax(jnp.where(seeds, idx, none), axis=axis)
     l1 = jnp.minimum(idx - fwd, sent)
-    # second nearest on the left: nearest at or before pos1 - 1
-    prev = jnp.take_along_axis(fwd, jnp.maximum(fwd - 1, 0), axis=axis)
-    l2 = jnp.where(fwd >= 1, jnp.minimum(idx - prev, sent), sent)
+    # gap at a seed p: p - (nearest seed at or before p-1)
+    fwd_prev = lax.slice_in_dim(
+        jnp.pad(fwd, pad, constant_values=none), 0, w, axis=axis
+    )
+    gap_l = jnp.minimum(idx - fwd_prev, sent)
+    pack_l = jnp.where(seeds, idx * g + gap_l, none)
+    carried_l = lax.cummax(pack_l, axis=axis)
+    l2 = jnp.minimum(l1 + jnp.bitwise_and(carried_l, gmask), sent)
+    l2 = jnp.where(carried_l == none, sent, l2)
 
-    # bwd[i] = -(position of the nearest seed at or after i)
+    # mirrored: nearest seed at or after i carries its gap to the NEXT seed
     bwd = lax.cummax(jnp.where(seeds, -idx, none), axis=axis, reverse=True)
     r1 = jnp.minimum(-(idx + bwd), sent)
-    pos1r = -bwd  # huge positive when no seed to the right
-    nxt_pos = jnp.clip(pos1r + 1, 0, jnp.int32(seeds.shape[-1] - 1))
-    nxt = jnp.take_along_axis(bwd, nxt_pos, axis=axis)
-    r2 = jnp.where(
-        pos1r <= jnp.int32(seeds.shape[-1] - 2),
-        jnp.minimum(-(idx + nxt), sent),
-        sent,
+    pad_r = [(0, 0)] * ndim
+    pad_r[axis] = (0, 1)
+    bwd_next = lax.slice_in_dim(
+        jnp.pad(bwd, pad_r, constant_values=none), 1, w + 1, axis=axis
     )
+    gap_r = jnp.minimum(-idx - bwd_next, sent)  # (next pos) - idx at seeds
+    pack_r = jnp.where(seeds, (-idx) * g + gap_r, none)
+    carried_r = lax.cummax(pack_r, axis=axis, reverse=True)
+    r2 = jnp.minimum(r1 + jnp.bitwise_and(carried_r, gmask), sent)
+    r2 = jnp.where(carried_r == none, sent, r2)
     return l1, l2, r1, r2
 
 

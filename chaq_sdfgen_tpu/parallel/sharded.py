@@ -163,35 +163,32 @@ def sharded_jfa_distance(
             + i.astype(jnp.int32) * jnp.int32(h_local)
         )
         xx = jax.lax.broadcasted_iota(jnp.int32, seeds_blk.shape, 1)
-        sy = jnp.where(seeds_blk, yy, jnp.int32(0))
-        sx = jnp.where(seeds_blk, xx, jnp.int32(0))
-        valid = seeds_blk
+        # packed state (sy << xbits | sx, -1 = no seed) as in
+        # jfa_seed_coords: ONE halo'd array per stride instead of three
+        xbits = max((w - 1).bit_length(), 1)
+        mask = jnp.int32((1 << xbits) - 1)
+        none = jnp.int32(-1)
+        p = jnp.where(seeds_blk, (yy << xbits) | xx, none)
         d2 = jnp.where(seeds_blk, jnp.int32(0), invalid)
 
         for k in strides:
             # k-row halo of the full state in global coordinates
-            sy_e = exchange_row_halo(sy, k, y_axis, 0)
-            sx_e = exchange_row_halo(sx, k, y_axis, 0)
-            va_e = exchange_row_halo(valid, k, y_axis, False)
+            p_e = exchange_row_halo(p, k, y_axis, -1)
             for dy in (-k, 0, k):
                 # rows [k+dy, k+dy+h_local) of the extended state
                 ys = k + dy
-                csy = jax.lax.slice_in_dim(sy_e, ys, ys + h_local, axis=0)
-                csx = jax.lax.slice_in_dim(sx_e, ys, ys + h_local, axis=0)
-                cva = jax.lax.slice_in_dim(va_e, ys, ys + h_local, axis=0)
+                cps = jax.lax.slice_in_dim(p_e, ys, ys + h_local, axis=0)
                 for dx in (-k, 0, k):
                     if dx != 0:
-                        csy2 = jfa_ops._shift2d(csy, 0, dx, 0)
-                        csx2 = jfa_ops._shift2d(csx, 0, dx, 0)
-                        cva2 = jfa_ops._shift2d(cva, 0, dx, False)
+                        cp = jfa_ops._shift2d(cps, 0, dx, none)
                     else:
-                        csy2, csx2, cva2 = csy, csx, cva
-                    cd2 = (yy - csy2) ** 2 + (xx - csx2) ** 2
-                    cd2 = jnp.where(cva2, cd2, invalid)
+                        cp = cps
+                    csy = cp >> xbits
+                    csx = cp & mask
+                    cd2 = (yy - csy) ** 2 + (xx - csx) ** 2
+                    cd2 = jnp.where(cp >= 0, cd2, invalid)
                     take = cd2 < d2
-                    sy = jnp.where(take, csy2, sy)
-                    sx = jnp.where(take, csx2, sx)
-                    valid = jnp.logical_or(valid, cva2)
+                    p = jnp.where(take, cp, p)
                     d2 = jnp.minimum(d2, cd2)
         return refined_sqrt(d2.astype(jnp.float32))
 

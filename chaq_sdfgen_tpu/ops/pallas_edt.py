@@ -97,12 +97,17 @@ def _sweep_scratch(dscr, w_rows):
     jax.lax.fori_loop(0, nblk, up_body, carry0)
 
 
-def _row_pass_block_kernel(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band):
+def _row_pass_body(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band, h_mask=None):
     """Pass 1 with the transposes fused in: one program per TM-row block
     of the NATURAL-layout image. The block is transposed in VMEM (512-col
     chunks), both polarity fields sweep along sublanes in one scratch, and
     the clipped u8 distances are transposed back on write — replacing the
-    three XLA u8 transposes of the standalone path with in-kernel ones."""
+    three XLA u8 transposes of the standalone path with in-kernel ones.
+
+    h_mask: optional (dynamic) count of valid lanes (= image rows) in this
+    block; lanes >= h_mask have their seeds suppressed so they read as
+    saturated (no pixels exist there) — used by the extended-strip layout
+    where no XLA slice runs between the passes."""
     tm = b_ref.shape[0]
     inf = jnp.int32(1 << 20)
     clipv = jnp.int32(min(band + 1, 255))
@@ -115,6 +120,10 @@ def _row_pass_block_kernel(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band
             valid = xs < jnp.int32(w_actual)
         else:
             valid = None
+        if h_mask is not None:
+            ys = jax.lax.broadcasted_iota(jnp.int32, (cc, tm), 1)
+            yv = ys < h_mask
+            valid = yv if valid is None else jnp.logical_and(valid, yv)
         seed_in = blk > 0
         seed_out = blk == 0
         if valid is not None:
@@ -132,7 +141,37 @@ def _row_pass_block_kernel(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band
         dout_ref[:, c : c + cc] = d[:, tm : 2 * tm].T.astype(jnp.uint8)
 
 
-def _fused_kernel(din_ref, dout_ref, out_ref, gin_ref, gout_ref, *, band, h, spread, asymmetric, sq_dtype):
+def _row_pass_block_kernel(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band):
+    _row_pass_body(b_ref, din_ref, dout_ref, dscr, wp=wp, w_actual=w_actual, band=band)
+
+
+def _row_pass_block_kernel_ext(
+    b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, h_real, band, nb, npad
+):
+    """Extended-strip pass 1: grid (nb + 2*npad) row blocks. Blocks
+    [0, npad) and [npad+nb, nb+2*npad) write saturated sentinel halos (the
+    band's out-of-image boundary), so pass 2 can consume the outputs
+    directly — no XLA pad/slice (2 fields x H x W u8 round trips) between
+    the passes."""
+    i = pl.program_id(0)
+    tm = din_ref.shape[0]
+    sentinel = jnp.logical_or(i < npad, i >= npad + nb)
+
+    @pl.when(sentinel)
+    def _():
+        din_ref[:, :] = jnp.full(din_ref.shape, 255, jnp.uint8)
+        dout_ref[:, :] = jnp.full(dout_ref.shape, 255, jnp.uint8)
+
+    @pl.when(jnp.logical_not(sentinel))
+    def _():
+        h_mask = jnp.int32(h_real) - (i - npad) * jnp.int32(tm)
+        _row_pass_body(
+            b_ref, din_ref, dout_ref, dscr,
+            wp=wp, w_actual=w_actual, band=band, h_mask=h_mask,
+        )
+
+
+def _fused_kernel(din_ref, dout_ref, out_ref, gin_ref, gout_ref, *, band, h, spread, asymmetric, sq_dtype, off):
     """din/dout: (H + 2B, TN) uint8 row-distance strips (clipped at
     band+1); gin/gout: int16 VMEM scratch for the squared strips; out:
     (H, TN) uint8 final bytes.
@@ -164,11 +203,11 @@ def _fused_kernel(din_ref, dout_ref, out_ref, gin_ref, gout_ref, *, band, h, spr
         # with ILP); round-robin breaks the dependency chain.
         nacc = 4
         accs = [None] * nacc
-        accs[0] = ref[r + band : r + band + rc, :]  # center tap dy = 0
+        accs[0] = ref[r + off : r + off + rc, :]  # center tap dy = 0
         for dy in range(1, band + 1):
             pair = jnp.minimum(
-                ref[r + band - dy : r + band - dy + rc, :],
-                ref[r + band + dy : r + band + dy + rc, :],
+                ref[r + off - dy : r + off - dy + rc, :],
+                ref[r + off + dy : r + off + dy + rc, :],
             )
             tap = pair + jnp.asarray(dy * dy, sq_dtype)
             j = dy % nacc
@@ -199,7 +238,7 @@ def _fused_kernel(din_ref, dout_ref, out_ref, gin_ref, gout_ref, *, band, h, spr
 
 def _fused_kernel_adaptive(
     din_ref, dout_ref, out_ref, gin_ref, gout_ref, acc_ref, dtmp_ref, smin_ref,
-    *, band, h, spread, asymmetric
+    *, band, h, spread, asymmetric, off
 ):
     """Adaptive variant of _fused_kernel: taps run in 8-|dy| groups from the
     center outward, and a group is skipped when its lower bound
@@ -227,11 +266,11 @@ def _fused_kernel_adaptive(
     def band_min_chunk(ref, r, rc, field_idx):
         # center group: dy = 0..4 (unconditional; 4-tap groups measured
         # faster than 8 — the always-on central group is the floor cost)
-        acc = ref[r + band : r + band + rc, :]
+        acc = ref[r + off : r + off + rc, :]
         for dy in range(1, min(4, band) + 1):
             pair = jnp.minimum(
-                ref[r + band - dy : r + band - dy + rc, :],
-                ref[r + band + dy : r + band + dy + rc, :],
+                ref[r + off - dy : r + off - dy + rc, :],
+                ref[r + off + dy : r + off + dy + rc, :],
             )
             acc = jnp.minimum(acc, pair + jnp.float32(dy * dy))
         acc_ref[0:rc, :] = acc
@@ -248,8 +287,8 @@ def _fused_kernel_adaptive(
                 a = acc_ref[0:rc, :]
                 for dy in range(4 * g + 1, min(4 * (g + 1), band) + 1):
                     pair = jnp.minimum(
-                        ref[r + band - dy : r + band - dy + rc, :],
-                        ref[r + band + dy : r + band + dy + rc, :],
+                        ref[r + off - dy : r + off - dy + rc, :],
+                        ref[r + off + dy : r + off + dy + rc, :],
                     )
                     a = jnp.minimum(a, pair + jnp.float32(dy * dy))
                 acc_ref[0:rc, :] = a
@@ -272,11 +311,11 @@ def _fused_kernel_adaptive(
         out_ref[r : r + rc, :] = remap.astype(jnp.int32).astype(jnp.uint8)
 
 
-def _pick_tn(h: int, band: int, w: int) -> int:
+def _pick_tn(strip_rows: int, h: int, w: int) -> int:
     """Largest lane-tile (multiple of 128) such that two double-buffered
     input strips + the output block stay within ~12 MB of VMEM."""
     budget = 12 * 1024 * 1024
-    per_lane = (h + 2 * band) * 4 * 2 * 2 + h * 1 * 2  # 2 fields x 2 buffers + u8 out
+    per_lane = strip_rows * 4 * 2 * 2 + h * 1 * 2  # 2 fields x 2 buffers + u8 out
     tn = budget // max(per_lane, 1)
     tn = min(tn, w, 2048)
     tn = (tn // 128) * 128
@@ -326,6 +365,54 @@ def row_distances_u8(
     return din[:h, :w], dout[:h, :w]
 
 
+def row_distances_u8_ext(
+    b: jnp.ndarray, band: int, interpret: bool | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Pass 1 emitting sentinel-extended strips: (H, W) bool ->
+    (din_full, dout_full, row_off) where the full arrays are
+    ((nb + 2*npad)*TM, Wp) uint8, image row y lives at strip row
+    row_off + y, rows outside [row_off, row_off + H) read saturated, and
+    columns beyond W read saturated too (no seeds there). Feeds
+    fused_pass2_bytes(row_off=...) with zero XLA pad/slice between the
+    passes."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    h, w = b.shape
+    wp = _round_up(w, 128)
+    tm = 128
+    hpa = _round_up(h, tm)
+    nb = hpa // tm
+    npad = -(-band // tm)  # sentinel blocks per side (band may exceed TM)
+    b_p = jnp.pad(b.astype(jnp.uint8), ((0, hpa - h), (0, wp - w)))
+    kern = functools.partial(
+        _row_pass_block_kernel_ext,
+        wp=wp, w_actual=w, h_real=h, band=band, nb=nb, npad=npad,
+    )
+    din, dout = pl.pallas_call(
+        kern,
+        grid=(nb + 2 * npad,),
+        in_specs=[
+            pl.BlockSpec(
+                (tm, wp),
+                lambda i: (jnp.clip(i - npad, 0, nb - 1), 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(((nb + 2 * npad) * tm, wp), jnp.uint8),
+            jax.ShapeDtypeStruct(((nb + 2 * npad) * tm, wp), jnp.uint8),
+        ],
+        scratch_shapes=[pltpu.VMEM((wp, 2 * tm), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(b_p)
+    return din, dout, npad * tm
+
+
 def fused_pass2_bytes(
     din_ext: jnp.ndarray,
     dout_ext: jnp.ndarray,
@@ -334,28 +421,52 @@ def fused_pass2_bytes(
     band: int,
     interpret: bool | None = None,
     adaptive: bool = True,
+    row_off: int | None = None,
+    out_rows: int | None = None,
 ) -> jnp.ndarray:
-    """Kernel B on pre-extended strips: (H + 2*band, W) uint8 row-distance
-    strips (boundary sentinel 255 or an exchanged shard halo) -> (H, W)
-    uint8 final bytes. H must be a multiple of 8 (sublane alignment of the
-    in-kernel chunking)."""
+    """Kernel B on pre-extended strips -> (H, W) uint8 final bytes.
+
+    Legacy layout (row_off=None): strips are (H + 2*band, W) with image
+    row y at strip row y + band (boundary sentinel 255 or an exchanged
+    shard halo).
+
+    Extended layout (row_off given, from row_distances_u8_ext): image row
+    y lives at strip row row_off + y; out_rows gives H (the strips carry
+    their own sentinel halos and alignment padding). H must be a multiple
+    of 8 (sublane alignment of the in-kernel chunking)."""
     if interpret is None:
         interpret = not _is_tpu()
     hext, w = din_ext.shape
-    hp = hext - 2 * band
+    if row_off is None:
+        row_off = band
+        hp = hext - 2 * band
+    else:
+        if out_rows is None:
+            raise ValueError("fused_pass2_bytes: out_rows required with row_off")
+        hp = out_rows
     if hp % 8 != 0:
         raise ValueError(f"fused_pass2_bytes: H = {hp} must be a multiple of 8")
     sat = 255
     wp = _round_up(w, 128)
-    tn = _pick_tn(hp, band, wp)
-    wp = _round_up(wp, tn)
+    tn = _pick_tn(hext, hp, wp)
+    if wp % tn != 0:
+        # prefer a lane tile that divides the (128-aligned) width: padding
+        # the strips costs a u8 round trip per field
+        tn_div = tn
+        while wp % tn_div != 0:
+            tn_div -= 128
+        if tn_div >= 128:
+            tn = tn_div
+        else:
+            wp = _round_up(wp, tn)
     if wp != w:
         din_ext = jnp.pad(din_ext, ((0, 0), (0, wp - w)), constant_values=sat)
         dout_ext = jnp.pad(dout_ext, ((0, 0), (0, wp - w)), constant_values=sat)
 
     if adaptive:
         kern_b = functools.partial(
-            _fused_kernel_adaptive, band=band, h=hp, spread=spread, asymmetric=asymmetric
+            _fused_kernel_adaptive, band=band, h=hp, spread=spread,
+            asymmetric=asymmetric, off=row_off,
         )
         extra_scratch = [
             pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),  # chunk accumulator
@@ -365,21 +476,21 @@ def fused_pass2_bytes(
     else:
         kern_b = functools.partial(
             _fused_kernel, band=band, h=hp, spread=spread, asymmetric=asymmetric,
-            sq_dtype=jnp.float32,
+            sq_dtype=jnp.float32, off=row_off,
         )
         extra_scratch = []
     out = pl.pallas_call(
         kern_b,
         grid=(wp // tn,),
         in_specs=[
-            pl.BlockSpec((hp + 2 * band, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp + 2 * band, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hext, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hext, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((hp, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((hp + 2 * band, tn), jnp.float32),
-            pltpu.VMEM((hp + 2 * band, tn), jnp.float32),
+            pltpu.VMEM((hext, tn), jnp.float32),
+            pltpu.VMEM((hext, tn), jnp.float32),
         ] + extra_scratch,
         # vmapped batch shapes push the compiler's scoped (stack) vmem
         # past the 16 MB default (seen at (8, 1024, 1024): 17.15 MB)
@@ -426,14 +537,9 @@ def fused_sdf_bytes(
         return merge.remap_to_byte(merge.signed_merge(d_out, d_in), spread, asymmetric)
 
     hp = _round_up(h, 8)
-    din, dout = row_distances_u8(b, band, interpret=interpret)
-    # rows beyond the real image must read as saturated for BOTH fields
-    # (no pixels exist there); the same pad supplies the band halo.
-    sat = 255
-    pad = ((band, band + (hp - h)), (0, 0))
-    din = jnp.pad(din, pad, constant_values=sat)
-    dout = jnp.pad(dout, pad, constant_values=sat)
+    din_f, dout_f, row_off = row_distances_u8_ext(b, band, interpret=interpret)
     out = fused_pass2_bytes(
-        din, dout, spread, asymmetric, band, interpret=interpret, adaptive=adaptive
+        din_f, dout_f, spread, asymmetric, band, interpret=interpret,
+        adaptive=adaptive, row_off=row_off, out_rows=hp,
     )
     return out[:h, :w]

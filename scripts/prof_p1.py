@@ -1,0 +1,130 @@
+"""Variant microbench of the pass-1 kernel: isolate transpose cost vs
+sweep cost vs IO, and test a packed (u16) single-out-transpose variant."""
+import functools
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from chaq_sdfgen_tpu.ops.pallas_edt import _sweep_scratch, _round_up
+
+N = 4096
+band = 66
+K = 8
+rng = np.random.default_rng(0)
+b4k = jnp.asarray((rng.random((N, N)) < 0.3).astype(np.uint8))
+
+which = set(sys.argv[1:]) or {"baseline", "noio", "nosweep", "notransout", "packed"}
+
+
+def timeit(name, fn, *args):
+    f = jax.jit(fn)
+    r = f(*args)
+    jax.block_until_ready(r)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(*args))
+        best = min(best, time.perf_counter() - t0)
+    per = best / K * 1e3
+    print(f"{name:28s} {per:8.3f} ms/iter", flush=True)
+
+
+def loop(body):
+    def outer(*args):
+        return jax.lax.fori_loop(0, K, lambda i, acc: acc + body(i, *args), jnp.int32(0))
+    return outer
+
+
+TM = 128
+WP = N
+
+
+def make_kernel(do_in_t=True, do_sweep=True, out_mode="two"):
+    def kern(b_ref, o1_ref, o2_ref, dscr):
+        inf = jnp.int32(1 << 20)
+        clipv = jnp.int32(band + 1)
+        if do_in_t:
+            for c in range(0, WP, 512):
+                blk = b_ref[:, c : c + 512].astype(jnp.int32).T
+                dscr[c : c + 512, 0:TM] = jnp.where(blk > 0, jnp.int32(0), inf)
+                dscr[c : c + 512, TM : 2 * TM] = jnp.where(blk == 0, jnp.int32(0), inf)
+        else:
+            for c in range(0, WP, 512):
+                blk = b_ref[0:TM, 0:512].astype(jnp.int32)  # fixed re-read, no T
+                dscr[c : c + 512, 0:TM] = jnp.where(blk.T > 0, jnp.int32(0), inf)[:, :]
+                dscr[c : c + 512, TM : 2 * TM] = dscr[c : c + 512, 0:TM]
+        if do_sweep:
+            _sweep_scratch(dscr, WP)
+        for c in range(0, WP, 512):
+            d = jnp.minimum(dscr[c : c + 512, :], clipv)
+            if out_mode == "two":
+                o1_ref[:, c : c + 512] = d[:, 0:TM].T.astype(jnp.uint8)
+                o2_ref[:, c : c + 512] = d[:, TM : 2 * TM].T.astype(jnp.uint8)
+            elif out_mode == "none":
+                o1_ref[:, c : c + 512] = d[0:TM, 0:TM].astype(jnp.uint8)[0:TM, 0:512//4].repeat(4, 1) if False else jnp.zeros((TM, 512), jnp.uint8)
+                o2_ref[:, c : c + 512] = jnp.zeros((TM, 512), jnp.uint8)
+            elif out_mode == "packed":
+                packed = d[:, 0:TM] * jnp.int32(256) + d[:, TM : 2 * TM]
+                o1_ref[:, c : c + 512] = packed.T.astype(jnp.uint16)
+
+    return kern
+
+
+def run(name, do_in_t, do_sweep, out_mode):
+    kern = make_kernel(do_in_t, do_sweep, out_mode)
+    if out_mode == "packed":
+        outs = [
+            pl.BlockSpec((TM, WP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        oshapes = [
+            jax.ShapeDtypeStruct((N, WP), jnp.uint16),
+            jax.ShapeDtypeStruct((N, 128), jnp.uint8),
+        ]
+        def kern2(b_ref, o1_ref, o2_ref, dscr):
+            kern(b_ref, o1_ref, o2_ref, dscr)
+        k = kern2
+    else:
+        outs = [
+            pl.BlockSpec((TM, WP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, WP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        oshapes = [
+            jax.ShapeDtypeStruct((N, WP), jnp.uint8),
+            jax.ShapeDtypeStruct((N, WP), jnp.uint8),
+        ]
+        k = kern
+
+    def call(b):
+        return pl.pallas_call(
+            k,
+            grid=(N // TM,),
+            in_specs=[pl.BlockSpec((TM, WP), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+            out_specs=outs,
+            out_shape=oshapes,
+            scratch_shapes=[pltpu.VMEM((WP, 2 * TM), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        )(b)
+
+    timeit(name, loop(lambda i, b: jnp.sum(call(jnp.logical_xor(b > 0, i % 2 == 1).astype(jnp.uint8))[0][:128].astype(jnp.int32))), b4k)
+
+
+if "baseline" in which:
+    run("baseline (T-in,sweep,2 T-out)", True, True, "two")
+if "nosweep" in which:
+    run("no sweep", True, False, "two")
+if "notransout" in which:
+    run("no out-transpose (zeros)", True, True, "none")
+if "packed" in which:
+    run("packed u16 single T-out", True, True, "packed")
+
+import os
+os._exit(0)

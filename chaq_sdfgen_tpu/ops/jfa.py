@@ -84,6 +84,16 @@ def jfa_seed_coords(seeds: jnp.ndarray, plus_one: bool = True):
         # sharded version gets from its once-per-stride halo exchange, so
         # single-chip and sharded results are bitwise identical
         sp = p
+        # recompute the running best distance from the packed state
+        # instead of carrying it across passes: d2 == dist(p) is an exact
+        # invariant (the two always update together), and dropping the
+        # carry saves a 2x(H*W*4)-byte HBM round trip per stride — ~1.7 GB
+        # at 4K over the 13 strides, vs ~5 VPU ops to rebuild
+        sy0 = sp >> xbits
+        sx0 = sp & mask
+        d2 = jnp.where(
+            sp >= 0, (yy - sy0) ** 2 + (xx - sx0) ** 2, _INVALID_D2
+        )
         for dy in (-k, 0, k):
             for dx in (-k, 0, k):
                 if dy == 0 and dx == 0:

@@ -46,7 +46,12 @@ def _refined_sqrt_inline(n):
     return jnp.where(n > 0, s0 + corr, jnp.float32(0.0))
 
 
-_ROW_CHUNK = 512  # rows processed per inner step: bounds live temporaries
+_ROW_CHUNK = 128  # rows per inner pass-2 step. Swept on-chip (slope
+# timing, spread 64): 128 beats 256/512 on dense noise (4K 2.41 ms vs
+# 2.92) AND sparse glyph atlases (2.34 ms vs 3.41 for 8x1K) — the
+# adaptive skip bound is a scalar per chunk, so smaller chunks both
+# localize the bound (sparse images skip more) and keep the accumulator
+# in fewer live vregs; 64 regresses dense noise (per-chunk overheads).
 
 
 def _sweep_scratch(dscr, w_rows):
@@ -236,34 +241,57 @@ def _fused_kernel(din_ref, dout_ref, out_ref, gin_ref, gout_ref, *, band, h, spr
         out_ref[r : r + rc, :] = remap.astype(jnp.int32).astype(jnp.uint8)
 
 
+_SEG_HARD = 64  # granularity of the pass-2 segment-min bound tables
+
+
 def _fused_kernel_adaptive(
     din_ref, dout_ref, out_ref, gin_ref, gout_ref, acc_ref, dtmp_ref, smin_ref,
-    *, band, h, spread, asymmetric, off
+    seg_ref, *, band, h, spread, asymmetric, off
 ):
-    """Adaptive variant of _fused_kernel: taps run in 8-|dy| groups from the
+    """Adaptive variant of _fused_kernel: taps run in 4-|dy| groups from the
     center outward, and a group is skipped when its lower bound
-    (min dy^2 in group + min over the whole strip) provably cannot improve
-    any pixel of the current chunk — the TPU-native form of the reference
-    search's bound shrinking (opencl/sdf.cl:66-69, 100-103). Byte-exact:
-    work is only skipped when it cannot change the minimum.
+    (min dy^2 in group + min of the strip rows the group actually reads,
+    from a per-64-row segment-min table) provably cannot improve any pixel
+    of the current chunk — the TPU-native form of the reference search's
+    bound shrinking (opencl/sdf.cl:66-69, 100-103). Byte-exact: work is
+    only skipped when it cannot change the minimum. The windowed bound
+    (vs the strip-global min used before) is what makes sparse
+    glyph-atlas images skip: a chunk far from any stroke sees saturated
+    window minima and drops every outer group, where the global minimum
+    (0 at some stroke) would force the full stencil.
 
     Extra scratch: acc_ref (chunk accumulator, predicated updates need a
     mutable ref), dtmp_ref (holds d_in while d_out is computed),
-    smin_ref (SMEM: per-field strip minima)."""
+    smin_ref (SMEM: chunk max), seg_ref (SMEM: both fields' segment
+    minima, gin at seg0=0, gout at seg0=nseg)."""
     hext = din_ref.shape[0]
     clipv = jnp.int32(band + 1)
+    nseg = (hext + _SEG_HARD - 1) // _SEG_HARD
     for r in range(0, hext, _ROW_CHUNK):
         rc = min(_ROW_CHUNK, hext - r)
         di = jnp.minimum(din_ref[r : r + rc, :].astype(jnp.int32), clipv)
         do = jnp.minimum(dout_ref[r : r + rc, :].astype(jnp.int32), clipv)
         gin_ref[r : r + rc, :] = (di * di).astype(jnp.float32)
         gout_ref[r : r + rc, :] = (do * do).astype(jnp.float32)
-    smin_ref[0] = jnp.min(gin_ref[:, :])
-    smin_ref[1] = jnp.min(gout_ref[:, :])
+    for s in range(nseg):
+        sl = slice(s * _SEG_HARD, min((s + 1) * _SEG_HARD, hext))
+        seg_ref[s] = jnp.min(gin_ref[sl, :])
+        seg_ref[nseg + s] = jnp.min(gout_ref[sl, :])
 
     n_groups = (band + 3) // 4
 
     def band_min_chunk(ref, r, rc, field_idx):
+        seg0 = field_idx * nseg
+
+        def win_min(lo_row, hi_row):
+            # min over seg table rows [lo_row, hi_row) clamped to strip
+            lo_s = max(lo_row, 0) // _SEG_HARD
+            hi_s = (min(hi_row, hext) + _SEG_HARD - 1) // _SEG_HARD
+            m = seg_ref[seg0 + lo_s]
+            for s in range(lo_s + 1, hi_s):
+                m = jnp.minimum(m, seg_ref[seg0 + s])
+            return m
+
         # center group: dy = 0..4 (unconditional; 4-tap groups measured
         # faster than 8 — the always-on central group is the floor cost)
         acc = ref[r + off : r + off + rc, :]
@@ -275,17 +303,22 @@ def _fused_kernel_adaptive(
             acc = jnp.minimum(acc, pair + jnp.float32(dy * dy))
         acc_ref[0:rc, :] = acc
         smin_ref[2] = jnp.max(acc)
-        strip_min = smin_ref[field_idx]
 
         for g in range(1, n_groups):
-            if 4 * g + 1 > band:
+            dylo = 4 * g + 1
+            if dylo > band:
                 break
-            lo = jnp.float32((4 * g + 1) ** 2) + strip_min
+            dyhi = min(4 * (g + 1), band)
+            wmin = jnp.minimum(
+                win_min(r + off - dyhi, r + off - dylo + rc),
+                win_min(r + off + dylo, r + off + dyhi + rc),
+            )
+            lo = jnp.float32(dylo * dylo) + wmin
 
             @pl.when(lo < smin_ref[2])
             def _():
                 a = acc_ref[0:rc, :]
-                for dy in range(4 * g + 1, min(4 * (g + 1), band) + 1):
+                for dy in range(dylo, dyhi + 1):
                     pair = jnp.minimum(
                         ref[r + off - dy : r + off - dy + rc, :],
                         ref[r + off + dy : r + off + dy + rc, :],
@@ -312,8 +345,13 @@ def _fused_kernel_adaptive(
 
 
 def _pick_tn(strip_rows: int, h: int, w: int) -> int:
-    """Largest lane-tile (multiple of 128) such that two double-buffered
-    input strips + the output block stay within ~12 MB of VMEM."""
+    """Lane-tile width for pass 2. 128 wherever the strip is tall enough
+    to amortize per-program overhead: narrow tiles localize the adaptive
+    skip bound (a scalar per chunk), measured 3.58 vs 3.09 Gpix/s on the
+    glyph atlas against 256 lanes. Short strips fall back to the VMEM
+    budget rule (fewer, wider programs)."""
+    if strip_rows >= 512:
+        return min(128, max((w // 128) * 128, 128))
     budget = 12 * 1024 * 1024
     per_lane = strip_rows * 4 * 2 * 2 + h * 1 * 2  # 2 fields x 2 buffers + u8 out
     tn = budget // max(per_lane, 1)
@@ -468,10 +506,12 @@ def fused_pass2_bytes(
             _fused_kernel_adaptive, band=band, h=hp, spread=spread,
             asymmetric=asymmetric, off=row_off,
         )
+        nseg = (hext + _SEG_HARD - 1) // _SEG_HARD
         extra_scratch = [
             pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),  # chunk accumulator
             pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),  # d_in hold
-            pltpu.SMEM((4,), jnp.float32),              # strip minima + chunk max
+            pltpu.SMEM((4,), jnp.float32),              # chunk max
+            pltpu.SMEM((2 * nseg,), jnp.float32),       # per-field segment minima
         ]
     else:
         kern_b = functools.partial(

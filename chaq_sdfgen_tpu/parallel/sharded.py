@@ -169,9 +169,15 @@ def sharded_jfa_distance(
         mask = jnp.int32((1 << xbits) - 1)
         none = jnp.int32(-1)
         p = jnp.where(seeds_blk, (yy << xbits) | xx, none)
-        d2 = jnp.where(seeds_blk, jnp.int32(0), invalid)
 
+        d2 = jnp.where(seeds_blk, jnp.int32(0), invalid)
         for k in strides:
+            # rebuild the running best distance from the packed state
+            # (exact invariant d2 == dist(p), see ops/jfa.py) — only p
+            # crosses passes/halos, halving the carried state
+            sy0 = p >> xbits
+            sx0 = p & mask
+            d2 = jnp.where(p >= 0, (yy - sy0) ** 2 + (xx - sx0) ** 2, invalid)
             # k-row halo of the full state in global coordinates
             p_e = exchange_row_halo(p, k, y_axis, -1)
             for dy in (-k, 0, k):

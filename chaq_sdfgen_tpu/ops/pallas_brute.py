@@ -49,31 +49,47 @@ def _brute_kernel(
     scr_refs_and_scalars,
     *, spread, h, asymmetric, invert,
 ):
-    (st_l1, st_l2, st_r1, st_r2, sf_l1, sf_l2, sf_r1, sf_r2,
+    (sv1t, sv2t, sv3t, sv1f, sv2f, sv3f,
      acc_ref, dtmp_ref, seg_ref, sm_ref) = scr_refs_and_scalars
     hext = l1t.shape[0]
     tn = out_ref.shape[1]
     sent = spread + 1
-    big_d2 = jnp.float32(2 * sent * sent + 1)
     nseg = (hext + _SEG - 1) // _SEG
 
-    # widen the u8 strips into i32 scratch once (u8 VMEM tiles are
-    # (32, 128); the dy taps need byte rows at arbitrary sublane offsets,
-    # which only f32/i32 (8, 128) tiling supports)
-    pairs = (
-        (st_l1, l1t), (st_l2, l2t), (st_r1, r1t), (st_r2, r2t),
-        (sf_l1, l1f), (sf_l2, l2f), (sf_r1, r1f), (sf_r2, r2f),
+    # Sorted-candidate prologue: per polarity, merge the presorted side
+    # pairs (l1 <= l2, r1 <= r2) into the three smallest row distances
+    # v1 <= v2 <= v3 (f32 — kills the per-tap int->float converts; u8 VMEM
+    # tiles are (32, 128) so bytes can't be tap-sliced directly anyway).
+    # The per-tap diagonal exclusion then needs only 3 strips and
+    # 2 cmp + 2 sel instead of 4 strips and the per-side select chain:
+    #   min over {l1!=a?l1:l2, r1!=a?r1:r2}
+    #     == v1 if v1!=a else (v2 if v2!=a else v3)
+    # (proof: per side at most the FIRST distance can equal a, since
+    # l2 = l1 + gap > l1 unless both are the sentinel > spread >= a; the
+    # three cases l1,r1 != a / exactly one == a / both == a reduce to the
+    # merge values above).
+    quads = (
+        (sv1t, sv2t, sv3t, l1t, l2t, r1t, r2t),
+        (sv1f, sv2f, sv3f, l1f, l2f, r1f, r2f),
     )
-    for dst, src in pairs:
+    for v1d, v2d, v3d, l1s, l2s, r1s, r2s in quads:
         for r in range(0, hext, 512):
             rc = min(512, hext - r)
-            dst[r : r + rc, :] = src[r : r + rc, :].astype(jnp.int32)
+            a1 = l1s[r : r + rc, :].astype(jnp.int32)
+            a2 = l2s[r : r + rc, :].astype(jnp.int32)
+            b1 = r1s[r : r + rc, :].astype(jnp.int32)
+            b2 = r2s[r : r + rc, :].astype(jnp.int32)
+            v1d[r : r + rc, :] = jnp.minimum(a1, b1).astype(jnp.float32)
+            hi1 = jnp.maximum(a1, b1)
+            lo2 = jnp.minimum(a2, b2)
+            v2d[r : r + rc, :] = jnp.minimum(hi1, lo2).astype(jnp.float32)
+            v3d[r : r + rc, :] = jnp.maximum(hi1, lo2).astype(jnp.float32)
 
-    # skip-bound tables: per-segment minima of min(l1, r1), one per polarity
+    # skip-bound tables: per-segment minima of v1, one per polarity
     for s in range(nseg):
         lo, hi = s * _SEG, min((s + 1) * _SEG, hext)
-        seg_ref[s] = jnp.min(jnp.minimum(st_l1[lo:hi, :], st_r1[lo:hi, :]))
-        seg_ref[nseg + s] = jnp.min(jnp.minimum(sf_l1[lo:hi, :], sf_r1[lo:hi, :]))
+        seg_ref[s] = jnp.min(sv1t[lo:hi, :])
+        seg_ref[nseg + s] = jnp.min(sv1f[lo:hi, :])
 
     def win_min(seg0, lo_row, hi_row):
         lo_s = max(lo_row, 0) // _SEG
@@ -85,24 +101,21 @@ def _brute_kernel(
 
     n_groups = spread // 8 + 1
 
-    def scan_polarity(sl1, sl2, sr1, sr2, seg0, r, rc):
+    def scan_polarity(sv1, sv2, sv3, seg0, r, rc):
         """min d^2 to this polarity's seed set over the triangle candidate
         set, for output rows [r, r+rc)."""
 
         def probe(a, acc):
             # tap pair dy = +-a reading ext rows r + spread -+ a
-            av = jnp.int32(a)
+            av = jnp.float32(a)
             d2a = None
             for sgn in ((0,) if a == 0 else (-1, 1)):
                 rr = r + spread + sgn * a
-                tl1 = sl1[rr : rr + rc, :]
-                tl2 = sl2[rr : rr + rc, :]
-                tr1 = sr1[rr : rr + rc, :]
-                tr2 = sr2[rr : rr + rc, :]
+                tv1 = sv1[rr : rr + rc, :]
+                tv2 = sv2[rr : rr + rc, :]
+                tv3 = sv3[rr : rr + rc, :]
                 # diagonal exclusion: |dx| == |dy| candidates skipped
-                cl = jnp.where(tl1 == av, tl2, tl1)
-                cr = jnp.where(tr1 == av, tr2, tr1)
-                dx = jnp.minimum(cl, cr).astype(jnp.float32)
+                dx = jnp.where(tv1 != av, tv1, jnp.where(tv2 != av, tv2, tv3))
                 d2 = dx * dx + jnp.float32(a * a)
                 d2a = d2 if d2a is None else jnp.minimum(d2a, d2)
             return d2a if acc is None else jnp.minimum(acc, d2a)
@@ -122,7 +135,7 @@ def _brute_kernel(
             wmin = jnp.minimum(
                 win_min(seg0, r + spread - ahi, r + spread - alo + rc),
                 win_min(seg0, r + spread + alo, r + spread + ahi + rc),
-            ).astype(jnp.float32)
+            )
             lb = jnp.float32(alo * alo) + wmin * wmin
 
             @pl.when(lb < sm_ref[0])
@@ -141,8 +154,8 @@ def _brute_kernel(
     for r in range(0, h, _CHUNK):
         rc = min(_CHUNK, h - r)
         # candidates are the OPPOSITE polarity of the center pixel
-        dtmp_ref[0:rc, :] = scan_polarity(st_l1, st_l2, st_r1, st_r2, 0, r, rc)
-        d2f = scan_polarity(sf_l1, sf_l2, sf_r1, sf_r2, nseg, r, rc)
+        dtmp_ref[0:rc, :] = scan_polarity(sv1t, sv2t, sv3t, 0, r, rc)
+        d2f = scan_polarity(sv1f, sv2f, sv3f, nseg, r, rc)
         d2t = dtmp_ref[0:rc, :]
         # widen before comparing: v5e Mosaic can't compare u8 vectors
         bv = b_ref[r : r + rc, :].astype(jnp.int32) > jnp.int32(0)
@@ -226,11 +239,11 @@ def brute_sdf_bytes_pallas(
         ],
         out_specs=pl.BlockSpec((hp, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((hext, tn), jnp.int32) for _ in range(8)]
+        scratch_shapes=[pltpu.VMEM((hext, tn), jnp.float32) for _ in range(6)]
         + [
             pltpu.VMEM((_CHUNK, tn), jnp.float32),
             pltpu.VMEM((_CHUNK, tn), jnp.float32),
-            pltpu.SMEM((2 * nseg,), jnp.int32),
+            pltpu.SMEM((2 * nseg,), jnp.float32),
             pltpu.SMEM((2,), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),

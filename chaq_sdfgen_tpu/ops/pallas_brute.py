@@ -5,9 +5,12 @@ candidate search instead of the reference's O(n^2 s^2) per-pixel probes,
 opencl/sdf.cl:79-191), but its lax.scan materializes ~5 full-image arrays
 per dy step in HBM. This kernel runs the dy scan entirely in VMEM:
 
-  pass A (XLA): per-row nearest/second-nearest seed distances for both
-      polarities (ops.brute.row_seed_distances), clipped to u8 at
-      sentinel = spread + 1 <= 255.
+  pass A (Pallas, row_seed_distances_ext): per-row nearest/second-nearest
+      seed distances for both polarities via sublane log-jump sweeps,
+      clipped to u8 at sentinel = spread + 1 <= 255, emitted as
+      sentinel-extended dual-polarity strips (exact-integer parity with
+      ops.brute.row_seed_distances, whose lane-direction cummax scans
+      cost ~10.9 ms of the 17 ms 4K pipeline).
   kernel: per column strip, the eight u8 row-distance strips are widened
       once into i32 VMEM scratch; each output chunk then scans |dy| in
       8-tap groups from the center outward with the same provable skip
@@ -33,7 +36,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from chaq_sdfgen_tpu.ops import brute as brute_xla
 from chaq_sdfgen_tpu.ops.pallas_edt import _is_tpu, _refined_sqrt_inline
 
 _CHUNK = 256
@@ -44,10 +46,270 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# --------------------------------------------------------------------------
+# pass A as a Pallas kernel.
+#
+# The XLA formulation (brute.row_seed_distances) runs EIGHT lane-direction
+# lax.cummax prefix scans (4 per polarity); measured ~10.9 ms of the
+# 17 ms 4K pipeline — lane-axis scans relayout on every log step. This
+# kernel computes the same eight arrays with SUBLANE log-jump sweeps on
+# transposed VMEM blocks (the hard pass-1 pattern, pallas_edt.py), both
+# polarities sharing each sweep in a (wp, 2*TM) scratch, and emits
+# sentinel-extended u8 strips so the dy-scan kernel needs no XLA pad
+# either. Exact-integer semantics identical to brute.row_seed_distances
+# (L2 = L1 + gap carried from the nearest seed via a packed max-scan).
+# --------------------------------------------------------------------------
+
+
+def _dir_sweep(dscr, w_rows, down):
+    """Directional 1-D chamfer along sublanes over a (w_rows, L) i32
+    scratch seeded with 0/inf indicators: d[k] = min over seeds j<=k of
+    (k-j) (down=True) or j>=k (down=False). 8-row blocks via log-jump
+    shifts + a carried last/first-row vector (see pallas_edt._sweep_scratch
+    for the Mosaic constraints this shape works around)."""
+    lanes = dscr.shape[1]
+    inf = jnp.int32(1 << 20)
+    nblk = w_rows // 8
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
+
+    def shift_down(blk, st):
+        top = jnp.full((st, lanes), inf, jnp.int32)
+        return jnp.concatenate([top, blk[: 8 - st, :]], axis=0)
+
+    def shift_up(blk, st):
+        bot = jnp.full((st, lanes), inf, jnp.int32)
+        return jnp.concatenate([blk[st:, :], bot], axis=0)
+
+    if down:
+        def body(i, carry):
+            base = pl.multiple_of(i * 8, 8)
+            blk = dscr[pl.ds(base, 8), :]
+            for st in (1, 2, 4):
+                blk = jnp.minimum(blk, shift_down(blk, st) + jnp.int32(st))
+            blk = jnp.minimum(blk, carry + row8 + jnp.int32(1))
+            dscr[pl.ds(base, 8), :] = blk
+            return blk[7:8, :]
+    else:
+        def body(i, carry):
+            base = pl.multiple_of((nblk - 1 - i) * 8, 8)
+            blk = dscr[pl.ds(base, 8), :]
+            for st in (1, 2, 4):
+                blk = jnp.minimum(blk, shift_up(blk, st) + jnp.int32(st))
+            blk = jnp.minimum(blk, carry + (jnp.int32(8) - row8))
+            dscr[pl.ds(base, 8), :] = blk
+            return blk[0:1, :]
+
+    carry0 = jnp.full((1, lanes), inf, jnp.int32)
+    jax.lax.fori_loop(0, nblk, body, carry0)
+
+
+def _max_sweep(pscr, w_rows, down):
+    """Directional running-max along sublanes (the packed nearest-seed
+    carry): p[k] = max over j<=k (down) / j>=k (up) of p[j]."""
+    lanes = pscr.shape[1]
+    ninf = jnp.int32(-(1 << 30))
+    nblk = w_rows // 8
+
+    def shift_down(blk, st):
+        top = jnp.full((st, lanes), ninf, jnp.int32)
+        return jnp.concatenate([top, blk[: 8 - st, :]], axis=0)
+
+    def shift_up(blk, st):
+        bot = jnp.full((st, lanes), ninf, jnp.int32)
+        return jnp.concatenate([blk[st:, :], bot], axis=0)
+
+    if down:
+        def body(i, carry):
+            base = pl.multiple_of(i * 8, 8)
+            blk = pscr[pl.ds(base, 8), :]
+            for st in (1, 2, 4):
+                blk = jnp.maximum(blk, shift_down(blk, st))
+            blk = jnp.maximum(blk, carry)
+            pscr[pl.ds(base, 8), :] = blk
+            return blk[7:8, :]
+    else:
+        def body(i, carry):
+            base = pl.multiple_of((nblk - 1 - i) * 8, 8)
+            blk = pscr[pl.ds(base, 8), :]
+            for st in (1, 2, 4):
+                blk = jnp.maximum(blk, shift_up(blk, st))
+            blk = jnp.maximum(blk, carry)
+            pscr[pl.ds(base, 8), :] = blk
+            return blk[0:1, :]
+
+    carry0 = jnp.full((1, lanes), ninf, jnp.int32)
+    jax.lax.fori_loop(0, nblk, body, carry0)
+
+
+def _passa_kernel(
+    b_ref, l1_ref, l2_ref, r1_ref, r2_ref, iscr, dscr, pscr,
+    *, wp, w_actual, h_real, sent, nb, npad,
+):
+    """One program per TM-row block (grid nb + 2*npad; the outer npad
+    blocks per side write the `sent` sentinel halo). Outputs: the four
+    row-distance strips. Both polarities share every sweep: polarity TRUE
+    in scratch lanes [0, TM), FALSE in [TM, 2*TM). Each output ref is
+    (TM, 2*wp): columns [0, wp) = polarity TRUE, [wp, 2*wp) = FALSE."""
+    i = pl.program_id(0)
+    tm = l1_ref.shape[0]
+    sentinel = jnp.logical_or(i < npad, i >= npad + nb)
+
+    @pl.when(sentinel)
+    def _():
+        for ref in (l1_ref, l2_ref, r1_ref, r2_ref):
+            ref[:, :] = jnp.full(ref.shape, sent, jnp.uint8)
+
+    @pl.when(jnp.logical_not(sentinel))
+    def _():
+        inf = jnp.int32(1 << 20)
+        ninf = jnp.int32(-(1 << 30))
+        sentv = jnp.int32(sent)
+        gbits = max(int(sent).bit_length(), 1)
+        g = jnp.int32(1 << gbits)
+        gmask = jnp.int32((1 << gbits) - 1)
+        h_mask = jnp.int32(h_real) - (i - npad) * jnp.int32(tm)
+
+        # indicators for both polarities, transposed (x on sublanes)
+        for c in range(0, wp, 512):
+            cc = min(512, wp - c)
+            blk = b_ref[:, c : c + cc].astype(jnp.int32).T  # (cc, TM)
+            ys = jax.lax.broadcasted_iota(jnp.int32, (cc, tm), 1)
+            valid = ys < h_mask
+            if c + cc > w_actual:
+                xs = jax.lax.broadcasted_iota(jnp.int32, (cc, tm), 0) + jnp.int32(c)
+                valid = jnp.logical_and(valid, xs < jnp.int32(w_actual))
+            seed_t = jnp.logical_and(blk > 0, valid)
+            seed_f = jnp.logical_and(blk == 0, valid)
+            iscr[c : c + cc, 0:tm] = jnp.where(seed_t, jnp.int32(0), inf)
+            iscr[c : c + cc, tm : 2 * tm] = jnp.where(seed_f, jnp.int32(0), inf)
+
+        def emit(ref):
+            """write dscr (clipped distances) as u8, transposed back:
+            TRUE lanes -> ref[:, 0:wp], FALSE lanes -> ref[:, wp:2*wp]."""
+            for c in range(0, wp, 512):
+                cc = min(512, wp - c)
+                d = jnp.minimum(dscr[c : c + cc, :], sentv)
+                ref[:, c : c + cc] = d[:, 0:tm].T.astype(jnp.uint8)
+                ref[:, wp + c : wp + c + cc] = d[:, tm : 2 * tm].T.astype(jnp.uint8)
+
+        def second_pass(down):
+            """pscr <- packed (x*G + gap) at seeds, max-swept; then
+            dscr <- min(d1 + carried gap, sent) (sent where no carry)."""
+            for c in range(0, wp, 512):
+                cc = min(512, wp - c)
+                d1 = dscr[c : c + cc, :]
+                # gap at seed x = distance from x to the previous seed in
+                # scan order = d1[x -+ 1] + 1 (sent-clipped; sent at the
+                # scan edge). The +-1-shifted d1 rows cross the 512-chunk
+                # boundary: read them via a direct (possibly unaligned)
+                # scratch slice instead of re-shifting in-register.
+                if down:
+                    if c == 0:
+                        prev = jnp.concatenate(
+                            [jnp.full((1, 2 * tm), inf, jnp.int32), dscr[0 : cc - 1, :]],
+                            axis=0,
+                        )
+                    else:
+                        prev = dscr[c - 1 : c - 1 + cc, :]
+                else:
+                    if c + cc == wp:
+                        prev = jnp.concatenate(
+                            [dscr[c + 1 : c + cc, :], jnp.full((1, 2 * tm), inf, jnp.int32)],
+                            axis=0,
+                        )
+                    else:
+                        prev = dscr[c + 1 : c + 1 + cc, :]
+                gap = jnp.minimum(prev + jnp.int32(1), sentv)
+                xs = jax.lax.broadcasted_iota(jnp.int32, (cc, 2 * tm), 0) + jnp.int32(c)
+                key = xs if down else (jnp.int32(wp) - xs)
+                pack = jnp.where(
+                    iscr[c : c + cc, :] == 0, key * g + gap, ninf
+                )
+                pscr[c : c + cc, :] = pack
+            _max_sweep(pscr, wp, down)
+            for c in range(0, wp, 512):
+                cc = min(512, wp - c)
+                carried = pscr[c : c + cc, :]
+                d2nd = jnp.minimum(
+                    dscr[c : c + cc, :] + jnp.bitwise_and(carried, gmask), sentv
+                )
+                dscr[c : c + cc, :] = jnp.where(carried >= 0, d2nd, sentv)
+
+        # ---- L side (scan toward +x: seeds at-or-left) ----
+        for c in range(0, wp, 512):
+            cc = min(512, wp - c)
+            dscr[c : c + cc, :] = iscr[c : c + cc, :]
+        _dir_sweep(dscr, wp, down=True)
+        emit(l1_ref)
+        second_pass(down=True)
+        emit(l2_ref)
+
+        # ---- R side (scan toward -x: seeds at-or-right) ----
+        for c in range(0, wp, 512):
+            cc = min(512, wp - c)
+            dscr[c : c + cc, :] = iscr[c : c + cc, :]
+        _dir_sweep(dscr, wp, down=False)
+        emit(r1_ref)
+        second_pass(down=False)
+        emit(r2_ref)
+
+
+def row_seed_distances_ext(
+    b: jnp.ndarray, spread: int, interpret: bool | None = None
+):
+    """Pallas pass A for BOTH polarities: (H, W) bool -> four u8 arrays
+    (l1, l2, r1, r2), each ((nb + 2*npad)*TM, 2*Wp) with polarity TRUE in
+    columns [0, Wp) and FALSE in [Wp, 2*Wp); image row y lives at strip
+    row row_off + y; rows/columns outside the image read `sent`.
+    Returns (l1, l2, r1, r2, row_off, wp). Exact-integer parity with
+    brute.row_seed_distances (sentinel = spread + 1)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    h, w = b.shape
+    sent = spread + 1
+    wp = _round_up(w, 128)
+    tm = 128
+    hpa = _round_up(h, tm)
+    nb = hpa // tm
+    npad = -(-spread // tm)
+    b_p = jnp.pad(b.astype(jnp.uint8), ((0, hpa - h), (0, wp - w)))
+    kern = functools.partial(
+        _passa_kernel, wp=wp, w_actual=w, h_real=h, sent=sent, nb=nb, npad=npad
+    )
+    nbt = nb + 2 * npad
+    outs = pl.pallas_call(
+        kern,
+        grid=(nbt,),
+        in_specs=[
+            pl.BlockSpec(
+                (tm, wp),
+                lambda i: (jnp.clip(i - npad, 0, nb - 1), 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, 2 * wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nbt * tm, 2 * wp), jnp.uint8) for _ in range(4)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((wp, 2 * tm), jnp.int32),
+            pltpu.VMEM((wp, 2 * tm), jnp.int32),
+            pltpu.VMEM((wp, 2 * tm), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(b_p)
+    l1, l2, r1, r2 = outs
+    return l1, l2, r1, r2, npad * tm, wp
+
+
 def _brute_kernel(
     b_ref, l1t, l2t, r1t, r2t, l1f, l2f, r1f, r2f, out_ref,
     scr_refs_and_scalars,
-    *, spread, h, asymmetric, invert,
+    *, spread, h, asymmetric, invert, row_off,
 ):
     (sv1t, sv2t, sv3t, sv1f, sv2f, sv3f,
      acc_ref, dtmp_ref, seg_ref, sm_ref) = scr_refs_and_scalars
@@ -110,7 +372,7 @@ def _brute_kernel(
             av = jnp.float32(a)
             d2a = None
             for sgn in ((0,) if a == 0 else (-1, 1)):
-                rr = r + spread + sgn * a
+                rr = r + row_off + sgn * a
                 tv1 = sv1[rr : rr + rc, :]
                 tv2 = sv2[rr : rr + rc, :]
                 tv3 = sv3[rr : rr + rc, :]
@@ -133,8 +395,8 @@ def _brute_kernel(
             if alo > spread:
                 break
             wmin = jnp.minimum(
-                win_min(seg0, r + spread - ahi, r + spread - alo + rc),
-                win_min(seg0, r + spread + alo, r + spread + ahi + rc),
+                win_min(seg0, r + row_off - ahi, r + row_off - alo + rc),
+                win_min(seg0, r + row_off + alo, r + row_off + ahi + rc),
             )
             lb = jnp.float32(alo * alo) + wmin * wmin
 
@@ -204,39 +466,32 @@ def brute_sdf_bytes_pallas(
         return fn(b)
 
     h, w = b.shape
-    sent = spread + 1
     hp = _round_up(h, 8)
-    wp = _round_up(w, tn)
 
-    rows_t = brute_xla.row_seed_distances(b, sent)
-    rows_f = brute_xla.row_seed_distances(jnp.logical_not(b), sent)
-    hext = _round_up(hp + 2 * spread + 8, 8)
-
-    def prep(arr):
-        # rows: spread sentinel rows above, sentinel fill below to hext;
-        # pad columns (no pixels there) also read as sentinel
-        a = arr.astype(jnp.uint8)
-        return jnp.pad(
-            a,
-            ((spread, hext - h - spread), (0, wp - w)),
-            constant_values=jnp.uint8(sent),
-        )
-
-    strips = [prep(a) for a in (*rows_t, *rows_f)]
+    # pass A: Pallas sublane-sweep kernel, sentinel-extended dual-polarity
+    # strips (the XLA cummax formulation cost ~10.9 ms of the 17 ms 4K
+    # pipeline; see row_seed_distances_ext)
+    l1, l2, r1, r2, row_off, wp = row_seed_distances_ext(b, spread, interpret)
+    if wp % tn != 0:
+        tn = 128  # wp is always a multiple of 128
+    hext = l1.shape[0]
+    nwt = wp // tn
     b_p = jnp.pad(b.astype(jnp.uint8), ((0, hp - h), (0, wp - w)))
 
     nseg = (hext + _SEG - 1) // _SEG
     kern = functools.partial(
-        _brute_kernel_entry, spread=spread, h=hp, asymmetric=asymmetric, invert=invert
+        _brute_kernel_entry, spread=spread, h=hp, asymmetric=asymmetric,
+        invert=invert, row_off=row_off,
     )
+    # each dual-polarity strip feeds the kernel twice: column block j for
+    # polarity TRUE, block j + nwt for FALSE
+    spec_t = pl.BlockSpec((hext, tn), lambda j: (0, j), memory_space=pltpu.VMEM)
+    spec_f = pl.BlockSpec((hext, tn), lambda j: (0, j + nwt), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
-        grid=(wp // tn,),
+        grid=(nwt,),
         in_specs=[pl.BlockSpec((hp, tn), lambda j: (0, j), memory_space=pltpu.VMEM)]
-        + [
-            pl.BlockSpec((hext, tn), lambda j: (0, j), memory_space=pltpu.VMEM)
-            for _ in range(8)
-        ],
+        + [spec_t, spec_t, spec_t, spec_t, spec_f, spec_f, spec_f, spec_f],
         out_specs=pl.BlockSpec((hp, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((hext, tn), jnp.float32) for _ in range(6)]
@@ -248,7 +503,7 @@ def brute_sdf_bytes_pallas(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(b_p, *strips)
+    )(b_p, l1, l2, r1, r2, l1, l2, r1, r2)
     return out[:h, :w]
 
 
@@ -258,3 +513,7 @@ def _brute_kernel_entry(
     _brute_kernel(
         b_ref, l1t, l2t, r1t, r2t, l1f, l2f, r1f, r2f, out_ref, scr, **kw
     )
+
+
+# in_specs order note: the kernel's (l1t..r2t, l1f..r2f) args map to the
+# dual-polarity strips passed twice with column-shifted index maps.

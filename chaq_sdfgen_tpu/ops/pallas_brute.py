@@ -172,7 +172,8 @@ def _passa_kernel(
         # indicators for both polarities, transposed (x on sublanes)
         for c in range(0, wp, 512):
             cc = min(512, wp - c)
-            blk = b_ref[:, c : c + cc].astype(jnp.int32).T  # (cc, TM)
+            # u8 transpose before the widen (see pallas_edt._row_pass_body)
+            blk = b_ref[:, c : c + cc].T.astype(jnp.int32)  # (cc, TM)
             ys = jax.lax.broadcasted_iota(jnp.int32, (cc, tm), 1)
             valid = ys < h_mask
             if c + cc > w_actual:

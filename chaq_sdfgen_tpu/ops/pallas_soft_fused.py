@@ -318,11 +318,16 @@ def _chunk_weight_sum(s_ref, v_ref, off, r, rc, band, t, g_chunk, segmax_ref, nr
     return jax.lax.fori_loop(j_lo, j_hi, group, jnp.zeros((rc, lanes), jnp.float32))
 
 
+_TCHUNK = 128  # columns per in-VMEM transpose chunk (128 measured
+# marginally faster than 512 end-to-end; large f32 chunk transposes do
+# not show the u8 packed-transpose cliff)
+
+
 def _transpose_into(dst_ref, src, col0):
-    """dst[:, col0:col0+rows(src)] = src.T, in 512-row chunks."""
+    """dst[:, col0:col0+rows(src)] = src.T, in _TCHUNK-row chunks."""
     rows = src.shape[0]
-    for c in range(0, rows, 512):
-        cc = min(512, rows - c)
+    for c in range(0, rows, _TCHUNK):
+        cc = min(_TCHUNK, rows - c)
         dst_ref[:, col0 + c : col0 + c + cc] = src[c : c + cc, :].T.astype(dst_ref.dtype)
 
 
@@ -352,8 +357,8 @@ def _f1_kernel(
         @pl.when(f == 0)
         def _():
             # transpose gray into xt as sign-folded logits; store bf16 copy
-            for c in range(0, wl, 512):
-                cc = min(512, wl - c)
+            for c in range(0, wl, _TCHUNK):
+                cc = min(_TCHUNK, wl - c)
                 blk = gray_ref[:, c : c + cc].T  # (cc, TM)
                 xt_ref[c : c + cc, :] = (blk - jnp.float32(127.5)) * jnp.float32(sgn0 / tau)
             logitsT_ref[:, :] = xt_ref[:, :].astype(logitsT_ref.dtype)

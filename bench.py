@@ -218,6 +218,44 @@ def main():
     except Exception as e:
         err("sharded bench failed:", repr(e))
 
+    # --- batched soft fwd+bwd (atlas-shaped training step, Pallas path
+    #     via vmap — BASELINE configs 4/5 hybrid): 8 x 1K x 1K ---
+    try:
+        gray_b = jnp.asarray((rng.random((8, 1024, 1024)) * 255).astype(np.float32))
+
+        def softb_loop(k):
+            def outer(g0):
+                def body(i, carry):
+                    g, acc = carry
+                    v, gr = jax.value_and_grad(
+                        lambda x: jnp.sum(
+                            softsdf.soft_sdf_field(x, spread, tau=2.0, temperature=1.0)
+                        )
+                    )(g)
+                    return (g - jnp.float32(1e-6) * gr, acc + v)
+                _, acc = jax.lax.fori_loop(0, k, body, (g0, jnp.float32(0)))
+                return acc
+            return outer
+
+        dt = _slope_ms(softb_loop, gray_b, reps=3) / 1e3
+        npx = int(np.prod(gray_b.shape))
+        extras["soft_batched_8x1k_fwd_bwd_pixels_per_s"] = round(npx / dt, 1)
+        err(f"soft batched 8x1K fwd+bwd: {dt*1e3:.2f} ms/iter -> {npx/dt/1e9:.3f} Gpix/s")
+    except Exception as e:
+        err("batched soft bench failed:", repr(e))
+
+    # --- HBM roofline context: the hard pipeline's unavoidable traffic
+    #     (read bool 16 MB + pass-1 strips out 2x~18 MB + pass-2 strips in
+    #     + u8 out 16 MB ~= 104 MB) against the measured ~850 GB/s
+    #     effective HBM. A fraction << 1 means the pipeline is
+    #     VPU-compute-bound, not bandwidth-bound. ---
+    hbm_gbps = 850.0
+    hard_traffic_mb = 104.0
+    extras["hard_hbm_sol_ms"] = round(hard_traffic_mb / hbm_gbps, 4)  # MB/(GB/s) = ms
+    extras["hard_fraction_of_hbm_roofline"] = round(
+        (hard_traffic_mb / hbm_gbps) / (N * N / hard_pps * 1e3), 4
+    )
+
     value = soft_pps if parity_ok else 0.0
     print(
         json.dumps(

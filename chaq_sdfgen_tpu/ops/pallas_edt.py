@@ -179,7 +179,7 @@ def _row_pass_block_kernel_ext(
         )
 
 
-def _fused_kernel(din_ref, dout_ref, out_ref, gin_ref, gout_ref, *, band, h, spread, asymmetric, sq_dtype, off):
+def _fused_kernel(din_ref, dout_ref, smm_ref, out_ref, gin_ref, gout_ref, *, band, h, sq_dtype, off):
     """din/dout: (H + 2B, TN) uint8 row-distance strips (clipped at
     band+1); gin/gout: int16 VMEM scratch for the squared strips; out:
     (H, TN) uint8 final bytes.
@@ -226,8 +226,11 @@ def _fused_kernel(din_ref, dout_ref, out_ref, gin_ref, gout_ref, *, band, h, spr
                 acc = jnp.minimum(acc, accs[j])
         return acc.astype(jnp.float32)
 
-    s_min = jnp.float32(0.0) if asymmetric else jnp.float32(-float(spread))
-    s_max = jnp.float32(float(spread))
+    # remap range from SMEM (runtime scalars: one compiled kernel serves
+    # every spread within the static band bucket — the band only needs to
+    # be >= spread + 2 for byte parity, see ops/edt.py)
+    s_min = smm_ref[0]
+    s_max = smm_ref[1]
     for r in range(0, h, _ROW_CHUNK):
         rc = min(_ROW_CHUNK, h - r)
         d_in = _refined_sqrt_inline(band_min(gin_ref, r, rc))
@@ -248,8 +251,8 @@ _SEG_HARD = 64  # granularity of the pass-2 segment-min bound tables
 
 
 def _fused_kernel_adaptive(
-    din_ref, dout_ref, out_ref, gin_ref, gout_ref, acc_ref, dtmp_ref, smin_ref,
-    seg_ref, *, band, h, spread, asymmetric, off
+    din_ref, dout_ref, smm_ref, out_ref, gin_ref, gout_ref, acc_ref, dtmp_ref,
+    smin_ref, seg_ref, *, band, h, off
 ):
     """Adaptive variant of _fused_kernel: taps run in 4-|dy| groups from the
     center outward, and a group is skipped when its lower bound
@@ -332,8 +335,9 @@ def _fused_kernel_adaptive(
 
         return _refined_sqrt_inline(acc_ref[0:rc, :])
 
-    s_min = jnp.float32(0.0) if asymmetric else jnp.float32(-float(spread))
-    s_max = jnp.float32(float(spread))
+    # remap range from SMEM (runtime scalars — see _fused_kernel)
+    s_min = smm_ref[0]
+    s_max = smm_ref[1]
     for r in range(0, h, _ROW_CHUNK):
         rc = min(_ROW_CHUNK, h - r)
         dtmp_ref[0:rc, :] = band_min_chunk(gin_ref, r, rc, 0)
@@ -504,10 +508,16 @@ def fused_pass2_bytes(
         din_ext = jnp.pad(din_ext, ((0, 0), (0, wp - w)), constant_values=sat)
         dout_ext = jnp.pad(dout_ext, ((0, 0), (0, wp - w)), constant_values=sat)
 
+    # remap range as a runtime SMEM input: spread may be a TRACED scalar
+    # (fused_sdf_bytes_dynamic), in which case one compiled kernel serves
+    # every spread within the static band bucket
+    spread_f = jnp.asarray(spread, jnp.float32)
+    s_min = jnp.float32(0.0) if asymmetric else -spread_f
+    smm = jnp.stack([jnp.asarray(s_min, jnp.float32), spread_f])
+
     if adaptive:
         kern_b = functools.partial(
-            _fused_kernel_adaptive, band=band, h=hp, spread=spread,
-            asymmetric=asymmetric, off=row_off,
+            _fused_kernel_adaptive, band=band, h=hp, off=row_off,
         )
         nseg = (hext + _SEG_HARD - 1) // _SEG_HARD
         extra_scratch = [
@@ -518,8 +528,7 @@ def fused_pass2_bytes(
         ]
     else:
         kern_b = functools.partial(
-            _fused_kernel, band=band, h=hp, spread=spread, asymmetric=asymmetric,
-            sq_dtype=jnp.float32, off=row_off,
+            _fused_kernel, band=band, h=hp, sq_dtype=jnp.float32, off=row_off,
         )
         extra_scratch = []
     out = pl.pallas_call(
@@ -528,6 +537,7 @@ def fused_pass2_bytes(
         in_specs=[
             pl.BlockSpec((hext, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((hext, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((hp, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
@@ -539,7 +549,7 @@ def fused_pass2_bytes(
         # past the 16 MB default (seen at (8, 1024, 1024): 17.15 MB)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(din_ext, dout_ext)
+    )(din_ext, dout_ext, smm)
     return out[:, :w]
 
 
@@ -579,6 +589,57 @@ def fused_sdf_bytes(
         d_in, d_out = edt.dual_edt_banded(b, band)
         return merge.remap_to_byte(merge.signed_merge(d_out, d_in), spread, asymmetric)
 
+    hp = _round_up(h, 8)
+    din_f, dout_f, row_off = row_distances_u8_ext(b, band, interpret=interpret)
+    out = fused_pass2_bytes(
+        din_f, dout_f, spread, asymmetric, band, interpret=interpret,
+        adaptive=adaptive, row_off=row_off, out_rows=hp,
+    )
+    return out[:h, :w]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("band", "asymmetric", "interpret", "adaptive")
+)
+def fused_sdf_bytes_dynamic(
+    b: jnp.ndarray,
+    spread: jnp.ndarray,
+    band: int,
+    asymmetric: bool = False,
+    interpret: bool | None = None,
+    adaptive: bool = True,
+) -> jnp.ndarray:
+    """Hard EXACT pipeline with a RUNTIME spread: one compiled program
+    serves every spread <= band - 2 (spread sweeps — atlas generation,
+    training curricula — pay one ~minutes-scale Mosaic compile per band
+    bucket instead of one per spread value; a novel 4K kernel compiles in
+    ~7 min through this harness's remote-compile tunnel).
+
+    Byte-identical to fused_sdf_bytes(b, int(spread), band=band): taps
+    beyond spread + 2 only contribute distances > spread + 1, which the
+    byte remap clamps identically (the banding argument, ops/edt.py),
+    and the remap range enters the kernel as an SMEM scalar. Pick e.g.
+    band = roundup(max_spread + 2, 16).
+
+    b: (..., H, W) bool; spread: () int/float scalar array."""
+    if band + 1 > 255:
+        raise ValueError(f"fused_sdf_bytes_dynamic needs band <= 254, got {band}")
+    if interpret is None:
+        interpret = not _is_tpu()
+    if b.ndim > 2:
+        fn = functools.partial(
+            fused_sdf_bytes_dynamic, band=band, asymmetric=asymmetric,
+            interpret=interpret, adaptive=adaptive,
+        )
+        for _ in range(b.ndim - 2):
+            fn = jax.vmap(fn, in_axes=(0, None))
+        return fn(b, spread)
+    h, w = b.shape
+    if h <= 1:
+        raise ValueError(
+            "fused_sdf_bytes_dynamic: single-row images take the reference's "
+            "no-sqrt quirk path — use fused_sdf_bytes (static spread)"
+        )
     hp = _round_up(h, 8)
     din_f, dout_f, row_off = row_distances_u8_ext(b, band, interpret=interpret)
     out = fused_pass2_bytes(

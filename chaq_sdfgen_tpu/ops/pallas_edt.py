@@ -515,11 +515,20 @@ def fused_pass2_bytes(
     s_min = jnp.float32(0.0) if asymmetric else -spread_f
     smm = jnp.stack([jnp.asarray(s_min, jnp.float32), spread_f])
 
+    nseg = (hext + _SEG_HARD - 1) // _SEG_HARD
+    # NOTE: a combined-field variant (both squared strips side by side in
+    # one double-width scratch, bounds/reductions once per chunk) was
+    # measured WORSE on-chip: 3.23 vs 2.42 ms on 4K noise — the shared
+    # skip bound couples the fields (a group must run when EITHER field
+    # needs it) and the double-width chunks spill; per-field scans win.
     if adaptive:
         kern_b = functools.partial(
             _fused_kernel_adaptive, band=band, h=hp, off=row_off,
         )
-        nseg = (hext + _SEG_HARD - 1) // _SEG_HARD
+        base_scratch = [
+            pltpu.VMEM((hext, tn), jnp.float32),
+            pltpu.VMEM((hext, tn), jnp.float32),
+        ]
         extra_scratch = [
             pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),  # chunk accumulator
             pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),  # d_in hold
@@ -530,6 +539,10 @@ def fused_pass2_bytes(
         kern_b = functools.partial(
             _fused_kernel, band=band, h=hp, sq_dtype=jnp.float32, off=row_off,
         )
+        base_scratch = [
+            pltpu.VMEM((hext, tn), jnp.float32),
+            pltpu.VMEM((hext, tn), jnp.float32),
+        ]
         extra_scratch = []
     out = pl.pallas_call(
         kern_b,
@@ -541,10 +554,7 @@ def fused_pass2_bytes(
         ],
         out_specs=pl.BlockSpec((hp, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
-        scratch_shapes=[
-            pltpu.VMEM((hext, tn), jnp.float32),
-            pltpu.VMEM((hext, tn), jnp.float32),
-        ] + extra_scratch,
+        scratch_shapes=base_scratch + extra_scratch,
         # vmapped batch shapes push the compiler's scoped (stack) vmem
         # past the 16 MB default (seen at (8, 1024, 1024): 17.15 MB)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),

@@ -127,13 +127,12 @@ def _win_min(seg_ref, lo_row: int, hi_row: int, nrows: int, *, seg0=0):
     return m
 
 
-def _chunk_softmin(ref, off, r, rc, band, t, seg_ref, nrows, sm_ref, acc_ref, *, seg0=0):
+def _chunk_softmin(ref, off, r, rc, band, tf, inv_t, seg_ref, nrows, sm_ref, acc_ref, *, seg0=0):
     """Adaptive banded soft-min for output rows [r, r+rc) (r 8-aligned):
     returns the (rc, lanes) f32 chunk of
       m - T log sum_k exp((m - (k-band)^2 - g_ext[q+k]) / T).
-    ref must be valid on rows [off + r, off + r + rc + 2*band + 16)."""
-    inv_t = jnp.float32(1.0 / t)
-    tf = jnp.float32(t)
+    ref must be valid on rows [off + r, off + r + rc + 2*band + 16).
+    tf / inv_t: f32 scalars (may be traced — see _params)."""
     n_groups_a = (band + 3) // 4
 
     # ---- phase A: adaptive hard band-min, |dy| groups center-out in
@@ -244,14 +243,13 @@ def _chunk_softmin(ref, off, r, rc, band, t, seg_ref, nrows, sm_ref, acc_ref, *,
     return m - tf * jnp.log(ssum)
 
 
-def _chunk_weight_sum(s_ref, v_ref, off, r, rc, band, t, g_chunk, segmax_ref, nrows, smax_glob, *, seg0=0):
+def _chunk_weight_sum(s_ref, v_ref, off, r, rc, band, tf, inv_t, g_chunk, segmax_ref, nrows, smax_glob, *, seg0=0):
     """Banded softmax-weight pass for output rows [r, r+rc) (r 8-aligned):
       out[p] = sum_k exp((S[row] - (k-band)^2 - g[p]) / T) * V[row],
       row = off + p + k,  k in [0, 2*band].
     segmax_ref: per-_SEG maxima of s_ref rows (underflow skip bound);
-    smax_glob: their global max (bounds the group loop's range)."""
-    inv_t = jnp.float32(1.0 / t)
-    tf = jnp.float32(t)
+    smax_glob: their global max (bounds the group loop's range).
+    tf / inv_t: f32 scalars (may be traced)."""
     n_groups = (2 * band + 1 + 7) // 8
     delta = off % 8
     al = off - delta
@@ -336,9 +334,19 @@ def _transpose_into(dst_ref, src, col0):
 # --------------------------------------------------------------------------
 
 
+def _prm_scalars(prm_ref, prm_const):
+    """(tau, inv_tau, tf, inv_t, eps) as f32 scalars: trace-time CONSTANTS
+    when prm_const (a static float tuple) is given — XLA then folds
+    T=1 multiplies etc. exactly as when these were baked statics — or
+    SMEM reads for the dynamic-schedule path."""
+    if prm_const is not None:
+        return tuple(jnp.float32(v) for v in prm_const)
+    return prm_ref[0], prm_ref[1], prm_ref[2], prm_ref[3], prm_ref[4]
+
+
 def _f1_kernel(
-    gray_ref, s1cat_ref, logitsT_ref, s1t_ref, xt_ref, hs_ref, acc_ref, seg_ref, sm_ref,
-    *, band, w, wl, nb, h_real, ph, tau, temperature, test_above,
+    gray_ref, prm_ref, s1cat_ref, logitsT_ref, s1t_ref, xt_ref, hs_ref, acc_ref, seg_ref, sm_ref,
+    *, band, w, wl, nb, h_real, ph, test_above, prm_const,
 ):
     i = pl.program_id(0)
     f = pl.program_id(1)
@@ -353,6 +361,10 @@ def _f1_kernel(
     @pl.when(jnp.logical_not(sentinel))
     def _():
         sgn0 = 1.0 if test_above else -1.0
+        _, inv_tau, tf, inv_t, _ = _prm_scalars(prm_ref, prm_const)
+        # scale = sgn0/tau: multiply the f32 inverse by +-1.0 (exact), so
+        # static floats keep the double-divide-then-round value
+        scale0 = jnp.float32(sgn0) * inv_tau
 
         @pl.when(f == 0)
         def _():
@@ -360,7 +372,7 @@ def _f1_kernel(
             for c in range(0, wl, _TCHUNK):
                 cc = min(_TCHUNK, wl - c)
                 blk = gray_ref[:, c : c + cc].T  # (cc, TM)
-                xt_ref[c : c + cc, :] = (blk - jnp.float32(127.5)) * jnp.float32(sgn0 / tau)
+                xt_ref[c : c + cc, :] = (blk - jnp.float32(127.5)) * scale0
             logitsT_ref[:, :] = xt_ref[:, :].astype(logitsT_ref.dtype)
 
         # heights strip for field f (f=0: seeds on): h0 = T*softplus(-l).
@@ -375,7 +387,7 @@ def _f1_kernel(
             for c in range(0, w, 512):
                 cc = min(512, w - c)
                 l = xt_ref[c : c + cc, :]
-                h = jnp.float32(temperature) * _softplus(-l)
+                h = tf * _softplus(-l)
                 hs_ref[band + c : band + c + cc, :] = jnp.minimum(h, jnp.float32(_PAD_H))
 
         @pl.when(f == 1)
@@ -384,7 +396,7 @@ def _f1_kernel(
                 cc = min(512, w - c)
                 l = xt_ref[c : c + cc, :]
                 hs_ref[band + c : band + c + cc, :] = (
-                    hs_ref[band + c : band + c + cc, :] + jnp.float32(temperature) * l
+                    hs_ref[band + c : band + c + cc, :] + tf * l
                 )
 
         nseg = _build_seg_min(hs_ref, seg_ref, e1)
@@ -399,7 +411,7 @@ def _f1_kernel(
         for r in range(0, wl, _CHUNK):
             rc = min(_CHUNK, wl - r)
             s1 = _chunk_softmin(
-                hs_ref, 0, r, rc, band, temperature, seg_ref, e1, sm_ref, acc_ref
+                hs_ref, 0, r, rc, band, tf, inv_t, seg_ref, e1, sm_ref, acc_ref
             )
             # memoize the UNMASKED f32 S1 (exactly what B1's weight pass
             # must normalize against); the PAD_H lane mask below only
@@ -410,7 +422,7 @@ def _f1_kernel(
             _transpose_into(s1cat_ref, s1, r)
 
 
-def f1_pass(gray_p, w_real, h_real, band, tau, temperature, test_above, s1_dtype, interpret):
+def f1_pass(gray_p, prm, w_real, h_real, band, test_above, s1_dtype, interpret, prm_const=None):
     """gray_p: (Hp, WL) f32 padded.  Returns (s1cat ((nb+2)*TM, 2*WL)
     s1_dtype with TM-row sentinel halo blocks top+bottom, logitsT
     (WL, Hp) bf16, s1t_cat (2*(WL+2*ph), (nb+2)*TM) f32 — the exact-f32
@@ -422,8 +434,8 @@ def f1_pass(gray_p, w_real, h_real, band, tau, temperature, test_above, s1_dtype
     ph = _round_up(2 * band + 24, _TN)
     prows = wl + 2 * ph
     kern = functools.partial(
-        _f1_kernel, band=band, w=w_real, wl=wl, nb=nb, h_real=h_real, ph=ph, tau=tau,
-        temperature=temperature, test_above=test_above,
+        _f1_kernel, band=band, w=w_real, wl=wl, nb=nb, h_real=h_real, ph=ph,
+        test_above=test_above, prm_const=prm_const,
     )
     s1cat, logitsT, s1t_cat = pl.pallas_call(
         kern,
@@ -433,7 +445,8 @@ def f1_pass(gray_p, w_real, h_real, band, tau, temperature, test_above, s1_dtype
                 (_TM, wl),
                 lambda i, f: (jnp.clip(i - 1, 0, nb - 1), 0),
                 memory_space=pltpu.VMEM,
-            )
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((_TM, wl), lambda i, f: (i, f), memory_space=pltpu.VMEM),
@@ -458,7 +471,7 @@ def f1_pass(gray_p, w_real, h_real, band, tau, temperature, test_above, s1_dtype
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(gray_p)
+    )(gray_p, prm)
     return s1cat, logitsT, s1t_cat
 
 
@@ -467,10 +480,10 @@ def f1_pass(gray_p, w_real, h_real, band, tau, temperature, test_above, s1_dtype
 # --------------------------------------------------------------------------
 
 
-def _f2_kernel(sin_ref, sout_ref, field_ref, d2cat_ref, wide_ref, acc_ref, seg_ref, sm_ref, *, band, hp, eps, temperature):
+def _f2_kernel(sin_ref, sout_ref, prm_ref, field_ref, d2cat_ref, wide_ref, acc_ref, seg_ref, sm_ref, *, band, hp, prm_const):
     rrows = sin_ref.shape[0]
     off = _TM - band
-    e = jnp.float32(eps)
+    _, _, tf, inv_t, e = _prm_scalars(prm_ref, prm_const)
     # per field: if the strip is bf16, widen ONCE into f32 scratch (the
     # band stencil slices it ~25x per chunk — per-slice converts
     # dominate); f32 strips are used in place. The field combine reads
@@ -486,7 +499,7 @@ def _f2_kernel(sin_ref, sout_ref, field_ref, d2cat_ref, wide_ref, acc_ref, seg_r
         for r in range(0, hp, _CHUNK):
             rc = min(_CHUNK, hp - r)
             d2 = _chunk_softmin(
-                src, off, r, rc, band, temperature, seg_ref, rrows, sm_ref, acc_ref, seg0=0
+                src, off, r, rc, band, tf, inv_t, seg_ref, rrows, sm_ref, acc_ref, seg0=0
             )
             d2cat_ref[fi * hp + r : fi * hp + r + rc, :] = d2
             if fi == 1:
@@ -498,20 +511,21 @@ def _f2_kernel(sin_ref, sout_ref, field_ref, d2cat_ref, wide_ref, acc_ref, seg_r
                 )
 
 
-def f2_pass(s1cat, hp, band, temperature, eps, interpret):
+def f2_pass(s1cat, prm, hp, band, interpret, prm_const=None):
     """Returns (field (hp, wl) f32, d2cat (2*hp, wl) f32 — in-field rows
     [0, hp), out-field rows [hp, 2hp), memoized for B2)."""
     rrows, twl = s1cat.shape
     wl = twl // 2
     nw = wl // _TN
     nseg = (rrows + _SEG - 1) // _SEG
-    kern = functools.partial(_f2_kernel, band=band, hp=hp, eps=eps, temperature=temperature)
+    kern = functools.partial(_f2_kernel, band=band, hp=hp, prm_const=prm_const)
     return pl.pallas_call(
         kern,
         grid=(nw,),
         in_specs=[
             pl.BlockSpec((rrows, _TN), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((rrows, _TN), lambda j: (0, j + nw), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((hp, _TN), lambda j: (0, j), memory_space=pltpu.VMEM),
@@ -529,7 +543,7 @@ def f2_pass(s1cat, hp, band, temperature, eps, interpret):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(s1cat, s1cat)
+    )(s1cat, s1cat, prm)
 
 
 # --------------------------------------------------------------------------
@@ -538,8 +552,8 @@ def f2_pass(s1cat, hp, band, temperature, eps, interpret):
 
 
 def _b2_kernel(
-    s1_ref, ct_ref, d2_ref, ds1t_ref, d2w_ref, ct2w_ref, segw_ref,
-    *, band, hp, eps, temperature, npad, nw,
+    s1_ref, ct_ref, d2_ref, prm_ref, ds1t_ref, d2w_ref, ct2w_ref, segw_ref,
+    *, band, hp, npad, nw, prm_const,
 ):
     jj = pl.program_id(0)
     f = pl.program_id(1)
@@ -551,7 +565,7 @@ def _b2_kernel(
 
     @pl.when(jnp.logical_not(edge))
     def _():
-        e = jnp.float32(eps)
+        _, _, tf, inv_t, e = _prm_scalars(prm_ref, prm_const)
         wrows = d2w_ref.shape[0]
         pad0 = _round_up(band, 8)
         # ---- stage the memoized f32 d2 (F2 output — no soft-min
@@ -582,13 +596,13 @@ def _b2_kernel(
             rc = min(_CHUNK, hp - r)
             g_chunk = _read_f32(s1_ref, slice(_TM + r, _TM + r + rc))
             ds1 = _chunk_weight_sum(
-                d2w_ref, ct2w_ref, pad0 - band, r, rc, band, temperature,
+                d2w_ref, ct2w_ref, pad0 - band, r, rc, band, tf, inv_t,
                 g_chunk, segw_ref, wrows, smax_glob,
             )
             _transpose_into(ds1t_ref, ds1, r)
 
 
-def b2_pass(s1cat, ct_p, d2cat, band, temperature, eps, interpret):
+def b2_pass(s1cat, ct_p, d2cat, prm, band, interpret, prm_const=None):
     rrows, twl = s1cat.shape
     wl = twl // 2
     hp = ct_p.shape[0]
@@ -599,7 +613,7 @@ def b2_pass(s1cat, ct_p, d2cat, band, temperature, eps, interpret):
     wrows = _round_up(_round_up(band, 8) + hp + band + 24, 8)
     nsw = (wrows + _SEG - 1) // _SEG
     kern = functools.partial(
-        _b2_kernel, band=band, hp=hp, eps=eps, temperature=temperature, npad=npad, nw=nw
+        _b2_kernel, band=band, hp=hp, npad=npad, nw=nw, prm_const=prm_const
     )
     ds1t = pl.pallas_call(
         kern,
@@ -620,6 +634,7 @@ def b2_pass(s1cat, ct_p, d2cat, band, temperature, eps, interpret):
                 lambda jj, f: (f, jnp.clip(jj - npad, 0, nw - 1)),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (_TN, hp), lambda jj, f: (f * nj + jj, 0), memory_space=pltpu.VMEM
@@ -632,7 +647,7 @@ def b2_pass(s1cat, ct_p, d2cat, band, temperature, eps, interpret):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(s1cat, ct_p, d2cat)
+    )(s1cat, ct_p, d2cat, prm)
     return ds1t, ph
 
 
@@ -642,12 +657,14 @@ def b2_pass(s1cat, ct_p, d2cat, band, temperature, eps, interpret):
 
 
 def _b1_kernel(
-    logitsT_ref, ds1t_ref, s1t_ref, dgray_ref, hs_ref, dsw_ref, dlacc_ref, segx_ref,
-    *, band, w, wl, ph, tau, temperature, test_above,
+    logitsT_ref, ds1t_ref, s1t_ref, prm_ref, dgray_ref, hs_ref, dsw_ref, dlacc_ref, segx_ref,
+    *, band, w, wl, ph, test_above, prm_const,
 ):
     f = pl.program_id(1)
-    tf = jnp.float32(temperature)
+    _, inv_tau, tf, inv_t, _ = _prm_scalars(prm_ref, prm_const)
     sgn0 = 1.0 if test_above else -1.0
+    # sgn0/tau as +-1.0 times the f32 inverse (exact; matches F1's scale)
+    scale0 = jnp.float32(sgn0) * inv_tau
     sgn = jnp.where(f == 0, jnp.float32(1.0), jnp.float32(-1.0))
     e1 = hs_ref.shape[0]
     prows = s1t_ref.shape[0]
@@ -693,7 +710,7 @@ def _b1_kernel(
         rc = min(_CHUNK, wl - r)
         g_chunk = hs_ref[band + r : band + r + rc, :]
         dh = _chunk_weight_sum(
-            s1t_ref, dsw_ref, ph - band, r, rc, band, temperature,
+            s1t_ref, dsw_ref, ph - band, r, rc, band, tf, inv_t,
             g_chunk, segx_ref, prows, smax_glob,
         )
         l = logitsT_ref[r : r + rc, :].astype(jnp.float32) * sgn
@@ -702,7 +719,7 @@ def _b1_kernel(
         live = g_chunk < jnp.float32(_PAD_H)
         dl = jnp.where(live, dh * (-tf) * sig, jnp.float32(0.0))
         # l = sgn * sgn0 * (v - 127.5)/tau  ->  dv = dl * sgn * sgn0 / tau
-        dv = dl * (sgn * jnp.float32(sgn0 / tau))
+        dv = dl * (sgn * scale0)
         prev = jnp.where(f == 0, jnp.zeros_like(dv), dlacc_ref[r : r + rc, :])
         dlacc_ref[r : r + rc, :] = prev + dv
 
@@ -711,15 +728,15 @@ def _b1_kernel(
         _transpose_into(dgray_ref, dlacc_ref[:, :], 0)
 
 
-def b1_pass(logitsT, ds1t, s1t_cat, hp, w_real, band, ph, tau, temperature, test_above, interpret):
+def b1_pass(logitsT, ds1t, s1t_cat, prm, hp, w_real, band, ph, test_above, interpret, prm_const=None):
     wl = logitsT.shape[0]
     nb = hp // _TM
     e1 = _round_up(2 * band + wl + 24, 8)
     prows = ph + wl + ph
     nsx = (prows + _SEG - 1) // _SEG
     kern = functools.partial(
-        _b1_kernel, band=band, w=w_real, wl=wl, ph=ph, tau=tau,
-        temperature=temperature, test_above=test_above,
+        _b1_kernel, band=band, w=w_real, wl=wl, ph=ph, test_above=test_above,
+        prm_const=prm_const,
     )
     return pl.pallas_call(
         kern,
@@ -728,6 +745,7 @@ def b1_pass(logitsT, ds1t, s1t_cat, hp, w_real, band, ph, tau, temperature, test
             pl.BlockSpec((wl, _TM), lambda i, f: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((prows, _TM), lambda i, f: (f, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((prows, _TM), lambda i, f: (f, i + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((_TM, wl), lambda i, f: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wl), jnp.float32),
@@ -739,7 +757,7 @@ def b1_pass(logitsT, ds1t, s1t_cat, hp, w_real, band, ph, tau, temperature, test
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(logitsT, ds1t, s1t_cat)
+    )(logitsT, ds1t, s1t_cat, prm)
 
 
 # --------------------------------------------------------------------------
@@ -758,39 +776,86 @@ def fused_ok(gray: jnp.ndarray, band: int) -> bool:
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
-def soft_sdf_field_fused(gray, band, tau, temperature, eps, test_above, interpret=False):
-    """Fused Pallas soft SDF field: (H, W) gray -> (H, W) f32 signed
-    field. Same math as ops.softsdf.soft_sdf_field (bf16 S1 between
-    passes; see module docstring)."""
-    out, _ = _fused_fwd(gray, band, tau, temperature, eps, test_above, interpret)
+def _params(tau, temperature, eps):
+    """(5,) f32 kernel params [tau, 1/tau, T, 1/T, eps]. For static Python
+    floats the inverses are double-divided then rounded once — exactly the
+    value jnp.float32(1.0 / t) produced when these were compile-time
+    constants, so the static path stays bit-identical. Traced scalars
+    divide in f32 (internally consistent: fwd and bwd read the same
+    SMEM values)."""
+    if isinstance(tau, (int, float)) and isinstance(temperature, (int, float)):
+        return jnp.asarray(
+            [tau, 1.0 / tau, temperature, 1.0 / temperature, eps], jnp.float32
+        )
+    tauf = jnp.asarray(tau, jnp.float32)
+    tf = jnp.asarray(temperature, jnp.float32)
+    one = jnp.float32(1.0)
+    return jnp.stack([tauf, one / tauf, tf, one / tf, jnp.full((), eps, jnp.float32)])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _fused_field_p(gray, prm, band, test_above, interpret, prm_const):
+    out, _ = _fused_fwd(gray, prm, band, test_above, interpret, prm_const)
     return out
 
 
-def _fused_fwd(gray, band, tau, temperature, eps, test_above, interpret):
+def _fused_fwd(gray, prm, band, test_above, interpret, prm_const):
     h, w = gray.shape
     hp = _round_up(max(h, _TM), _TM)
     wl = _round_up(max(w, 128), 128)
     gray_p = jnp.pad(gray.astype(jnp.float32), ((0, hp - h), (0, wl - w)))
     s1cat, logitsT, s1t_cat = f1_pass(
-        gray_p, w, h, band, tau, temperature, test_above, jnp.float32, interpret
+        gray_p, prm, w, h, band, test_above, jnp.float32, interpret,
+        prm_const=prm_const,
     )
-    field, d2cat = f2_pass(s1cat, hp, band, temperature, eps, interpret)
-    return field[:h, :w], (s1cat, logitsT, s1t_cat, d2cat, h, w, hp, wl)
+    field, d2cat = f2_pass(s1cat, prm, hp, band, interpret, prm_const=prm_const)
+    return field[:h, :w], (prm, s1cat, logitsT, s1t_cat, d2cat, h, w, hp, wl)
 
 
-def _fused_bwd(band, tau, temperature, eps, test_above, interpret, res, ct):
-    s1cat, logitsT, s1t_cat, d2cat, h, w, hp, wl = res
+def _fused_bwd(band, test_above, interpret, prm_const, res, ct):
+    prm, s1cat, logitsT, s1t_cat, d2cat, h, w, hp, wl = res
     ct_p = jnp.pad(ct.astype(jnp.float32), ((0, hp - h), (0, wl - w)))
-    ds1t, ph = b2_pass(s1cat, ct_p, d2cat, band, temperature, eps, interpret)
+    ds1t, ph = b2_pass(s1cat, ct_p, d2cat, prm, band, interpret, prm_const=prm_const)
     dgray = b1_pass(
-        logitsT, ds1t, s1t_cat, hp, w, band, ph, tau, temperature, test_above, interpret
+        logitsT, ds1t, s1t_cat, prm, hp, w, band, ph, test_above, interpret,
+        prm_const=prm_const,
     )
-    return (dgray[:h, :w],)
+    # tau/temperature/eps are schedule constants here: their cotangent is
+    # reported as zero (differentiate the composed softsdf path if you
+    # need parameter gradients)
+    return (dgray[:h, :w], jnp.zeros((5,), jnp.float32))
 
 
-def _fused_fwd_vjp(gray, band, tau, temperature, eps, test_above, interpret):
-    return _fused_fwd(gray, band, tau, temperature, eps, test_above, interpret)
+def _fused_fwd_vjp(gray, prm, band, test_above, interpret, prm_const):
+    return _fused_fwd(gray, prm, band, test_above, interpret, prm_const)
 
 
-soft_sdf_field_fused.defvjp(_fused_fwd_vjp, _fused_bwd)
+_fused_field_p.defvjp(_fused_fwd_vjp, _fused_bwd)
+
+
+def soft_sdf_field_fused(gray, band, tau, temperature, eps, test_above, interpret=False):
+    """Fused Pallas soft SDF field: (H, W) gray -> (H, W) f32 signed
+    field. Same math as ops.softsdf.soft_sdf_field (see module
+    docstring). tau/temperature/eps are static floats here (baked into
+    the kernels as constants so XLA folds e.g. T = 1 multiplies); see
+    soft_sdf_field_fused_dynamic for traced schedules."""
+    tau = float(tau)
+    temperature = float(temperature)
+    eps = float(eps)
+    prm_const = (tau, 1.0 / tau, temperature, 1.0 / temperature, eps)
+    return _fused_field_p(
+        gray, _params(tau, temperature, eps), band, test_above, interpret, prm_const
+    )
+
+
+def soft_sdf_field_fused_dynamic(
+    gray, tau, temperature, band, eps=1e-6, test_above=True, interpret=False
+):
+    """Fused soft field with RUNTIME tau/temperature (traced scalars):
+    one compiled program serves a whole annealing schedule — per-value
+    recompiles cost ~minutes per novel 4K kernel through the
+    remote-compile tunnel. Gradients flow to `gray` only;
+    tau/temperature are treated as schedule constants (zero cotangent)."""
+    return _fused_field_p(
+        gray, _params(tau, temperature, eps), band, test_above, interpret, None
+    )

@@ -48,13 +48,13 @@ gray = jnp.asarray((rng.random((N, N)) * 255).astype(np.float32))
 
 # produce realistic intermediates once
 s1cat, logitsT, s1t_cat = jax.jit(
-    lambda g: F.f1_pass(g, N, N, band, tau, T, True, jnp.float32, False)
+    lambda g: F.f1_pass(g, F._params(tau, T, eps), N, N, band, True, jnp.float32, False)
 )(gray)
 s1cat = jax.block_until_ready(s1cat)
 ct = jnp.ones((N, N), jnp.float32)
-d2cat = jax.jit(lambda s: F.f2_pass(s, N, band, T, eps, False)[1])(s1cat)
+d2cat = jax.jit(lambda s: F.f2_pass(s, F._params(tau, T, eps), N, band, False)[1])(s1cat)
 d2cat = jax.block_until_ready(d2cat)
-ds1t, ph = jax.jit(lambda s, c, d: F.b2_pass(s, c, d, band, T, eps, False))(s1cat, ct, d2cat)
+ds1t, ph = jax.jit(lambda s, c, d: F.b2_pass(s, c, d, F._params(tau, T, eps), band, False))(s1cat, ct, d2cat)
 ds1t = jax.block_until_ready(ds1t)
 ph = int(ph)
 print("shapes:", s1cat.shape, logitsT.shape, ds1t.shape, "ph:", ph, flush=True)
@@ -62,25 +62,25 @@ print("shapes:", s1cat.shape, logitsT.shape, ds1t.shape, "ph:", ph, flush=True)
 if "f1" in which:
     timeit(
         "F1 (gray->S1cat+logitsT)",
-        loop(lambda i, g: jnp.sum(F.f1_pass(g + i, N, N, band, tau, T, True, jnp.float32, False)[0].astype(jnp.float32))),
+        loop(lambda i, g: jnp.sum(F.f1_pass(g + i, F._params(tau, T, eps), N, N, band, True, jnp.float32, False)[0].astype(jnp.float32))),
         gray,
     )
 if "f2" in which:
     timeit(
         "F2 (S1cat->field)",
-        loop(lambda i, s: jnp.sum(F.f2_pass(s + i.astype(s.dtype), N, band, T, eps, False)[0])),
+        loop(lambda i, s: jnp.sum(F.f2_pass(s + i.astype(s.dtype), F._params(tau, T, eps), N, band, False)[0])),
         s1cat,
     )
 if "b2" in which:
     timeit(
         "B2 (S1cat,ct->dS1T)",
-        loop(lambda i, s, c, d: jnp.sum(F.b2_pass(s, c + i, d, band, T, eps, False)[0].astype(jnp.float32))),
+        loop(lambda i, s, c, d: jnp.sum(F.b2_pass(s, c + i, d, F._params(tau, T, eps), band, False)[0].astype(jnp.float32))),
         s1cat, ct, d2cat,
     )
 if "b1" in which:
     timeit(
         "B1 (logitsT,dS1T->dgray)",
-        loop(lambda i, l, d, st: jnp.sum(F.b1_pass(l, d + i.astype(d.dtype), st, N, N, band, ph, tau, T, True, False))),
+        loop(lambda i, l, d, st: jnp.sum(F.b1_pass(l, d + i.astype(d.dtype), st, F._params(tau, T, eps), N, N, band, ph, True, False))),
         logitsT, ds1t, s1t_cat,
     )
 

@@ -49,3 +49,41 @@ def test_dynamic_spread_one_compile():
     f(b, jnp.int32(9), band=32, interpret=True)
     f(b, jnp.int32(30), band=32, interpret=True)
     assert f._cache_size() == misses0
+
+
+def test_dynamic_soft_params_match_static():
+    from chaq_sdfgen_tpu.ops import pallas_soft_fused as F
+
+    rng = np.random.default_rng(6)
+    gray = jnp.asarray((rng.random((64, 96)) * 255).astype(np.float32))
+    band = 10
+    for tau, t in ((2.0, 1.0), (0.05, 0.02)):
+        want = np.asarray(
+            F.soft_sdf_field_fused(gray, band, tau, t, 1e-6, True, True)
+        )
+        got = np.asarray(
+            F.soft_sdf_field_fused_dynamic(
+                gray, jnp.float32(tau), jnp.float32(t), band, interpret=True
+            )
+        )
+        # traced params divide in f32 (vs double-then-round for static
+        # floats) — identical for dyadic values, <= 1 ulp otherwise,
+        # amplified through exp by at most ~1e-7 relative
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_dynamic_soft_grad_flows_to_gray():
+    import jax
+    from chaq_sdfgen_tpu.ops import pallas_soft_fused as F
+
+    rng = np.random.default_rng(7)
+    gray = jnp.asarray((rng.random((64, 64)) * 255).astype(np.float32))
+
+    def loss(g, t):
+        return jnp.sum(
+            F.soft_sdf_field_fused_dynamic(g, jnp.float32(2.0), t, 10, interpret=True)
+        )
+
+    dg, dt = jax.grad(loss, argnums=(0, 1))(gray, jnp.float32(1.0))
+    assert np.isfinite(np.asarray(dg)).all() and np.abs(np.asarray(dg)).sum() > 0
+    assert float(dt) == 0.0  # schedule constants: zero cotangent, documented

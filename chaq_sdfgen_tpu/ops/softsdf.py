@@ -65,22 +65,37 @@ def _pallas_ok(gext: jnp.ndarray, band: int, axis: int) -> bool:
     return (hext + (hext - 2 * band)) * 8 * 128 <= 11 * 1024 * 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def band_softmin_ext(gext: jnp.ndarray, band: int, temperature: float, axis: int = -2) -> jnp.ndarray:
+def band_softmin_ext(gext: jnp.ndarray, band: int, temperature, axis: int = -2) -> jnp.ndarray:
     """band_softmin on a pre-extended input (``band`` extra entries on each
     side of ``axis`` — boundary sentinels or an exchanged shard halo).
-    Output is 2*band shorter along ``axis`` than the input."""
-    if _pallas_ok(gext, band, axis):
+    Output is 2*band shorter along ``axis`` than the input.
+
+    temperature may be a Python float (static — eligible for the Pallas
+    strip kernels) or a traced scalar (annealing schedules: one compile
+    serves every value; the scan cores are used and the schedule gets a
+    zero cotangent, matching the float API where it was non-diff)."""
+    if isinstance(temperature, (int, float)):
+        return _band_softmin_ext_p(
+            gext, jnp.float32(temperature), band, axis, float(temperature)
+        )
+    return _band_softmin_ext_p(
+        gext, jnp.asarray(temperature, jnp.float32), band, axis, None
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _band_softmin_ext_p(gext, t_arr, band, axis, t_static):
+    if t_static is not None and _pallas_ok(gext, band, axis):
         from chaq_sdfgen_tpu.ops import pallas_soft
 
-        return pallas_soft.softmin_col_fwd(gext, band, temperature, interpret=False)
-    return _band_softmin_fwd_impl(gext, band, temperature, axis)
+        return pallas_soft.softmin_col_fwd(gext, band, t_static, interpret=False)
+    return _band_softmin_fwd_impl(gext, band, t_arr, axis)
 
 
 def _band_softmin_fwd_impl(gext, band, temperature, axis):
     axis = axis % gext.ndim
     h = gext.shape[axis] - 2 * band
-    t = jnp.float32(temperature)
+    t = jnp.asarray(temperature, jnp.float32)
     neg_huge = jnp.float32(-3e38)
 
     def step(carry, k):
@@ -102,20 +117,24 @@ def _band_softmin_fwd_impl(gext, band, temperature, axis):
     return -t * (m + jnp.log(jnp.maximum(s, jnp.float32(1e-38))))
 
 
-def _band_softmin_ext_fwd(gext, band, temperature, axis):
-    out = band_softmin_ext(gext, band, temperature, axis)
-    return out, (gext, out)
+def _band_softmin_ext_fwd(gext, t_arr, band, axis, t_static):
+    out = _band_softmin_ext_p(gext, t_arr, band, axis, t_static)
+    return out, (gext, t_arr, out)
 
 
-def _band_softmin_ext_bwd(band, temperature, axis, res, ct):
-    gext, out = res
-    if _pallas_ok(gext, band, axis):
+def _band_softmin_ext_bwd(band, axis, t_static, res, ct):
+    gext, t_arr, out = res
+    dt = jnp.zeros((), jnp.float32)  # schedule constant (see band_softmin_ext)
+    if t_static is not None and _pallas_ok(gext, band, axis):
         from chaq_sdfgen_tpu.ops import pallas_soft
 
-        return (pallas_soft.softmin_col_bwd(gext, out, ct, band, temperature, interpret=False),)
+        return (
+            pallas_soft.softmin_col_bwd(gext, out, ct, band, t_static, interpret=False),
+            dt,
+        )
     axis = axis % gext.ndim
     hext = gext.shape[axis]
-    t = jnp.float32(temperature)
+    t = jnp.asarray(t_arr, jnp.float32)
     # dL/dgext[p] = sum_{j=0..2B} w(p-j+B... ) — out index q = p - j with
     # weight exp((S[q] - (p-q-B... ) : out[q] consumed gext[q+k], k = p-q.
     # Pad out/ct by 2B on both sides so q = p - k is always in range.
@@ -135,10 +154,10 @@ def _band_softmin_ext_bwd(band, temperature, axis, res, ct):
 
     acc0 = gext * jnp.float32(0.0)
     acc, _ = lax.scan(step, acc0, jnp.arange(2 * band + 1, dtype=jnp.int32))
-    return (acc,)
+    return (acc, dt)
 
 
-band_softmin_ext.defvjp(_band_softmin_ext_fwd, _band_softmin_ext_bwd)
+_band_softmin_ext_p.defvjp(_band_softmin_ext_fwd, _band_softmin_ext_bwd)
 
 
 def soft_edt_sq(heights: jnp.ndarray, band: int, temperature: float) -> jnp.ndarray:
@@ -178,11 +197,25 @@ def soft_sdf_field(
 
         g2d = gray if gray.ndim == 2 else gray.reshape(-1, *gray.shape[-2:])[0]
         if pallas_soft_fused.fused_ok(g2d, band):
-            # custom_vjp nondiff args must stay positional
-            def fn(g):
-                return pallas_soft_fused.soft_sdf_field_fused(
-                    g, band, tau, float(temperature), float(eps), test_above
-                )
+            # traced tau/temperature (annealing schedules) dispatch to the
+            # dynamic-params kernels: one compile per band instead of one
+            # per schedule value. NOTE: no gradients wrt the schedule
+            # params on that path (zero cotangent, documented there).
+            dynamic = not (
+                isinstance(tau, (int, float))
+                and isinstance(temperature, (int, float))
+            )
+            if dynamic:
+                def fn(g):
+                    return pallas_soft_fused.soft_sdf_field_fused_dynamic(
+                        g, tau, temperature, band, float(eps), test_above
+                    )
+            else:
+                # custom_vjp nondiff args must stay positional
+                def fn(g):
+                    return pallas_soft_fused.soft_sdf_field_fused(
+                        g, band, tau, float(temperature), float(eps), test_above
+                    )
             if gray.ndim == 2:
                 log.debug("soft_sdf_field: fused Pallas pipeline (2-D)")
                 return fn(gray)

@@ -87,3 +87,24 @@ def test_dynamic_soft_grad_flows_to_gray():
     dg, dt = jax.grad(loss, argnums=(0, 1))(gray, jnp.float32(1.0))
     assert np.isfinite(np.asarray(dg)).all() and np.abs(np.asarray(dg)).sum() > 0
     assert float(dt) == 0.0  # schedule constants: zero cotangent, documented
+
+
+def test_soft_sdf_field_traced_temperature():
+    # public API with a traced annealing schedule: one jit serves all
+    # temperatures (CPU takes the composed path; on TPU the fused gate
+    # dispatches to the dynamic-params kernels)
+    import jax
+    from chaq_sdfgen_tpu.ops import softsdf
+
+    rng = np.random.default_rng(8)
+    gray = jnp.asarray((rng.random((48, 64)) * 255).astype(np.float32))
+
+    @jax.jit
+    def field(g, t):
+        return softsdf.soft_sdf_field(g, 6, tau=2.0, temperature=t)
+
+    a = np.asarray(field(gray, jnp.float32(1.0)))
+    b = np.asarray(field(gray, jnp.float32(0.25)))
+    want = np.asarray(softsdf.soft_sdf_field(gray, 6, tau=2.0, temperature=1.0))
+    np.testing.assert_allclose(a, want, rtol=2e-5, atol=2e-5)
+    assert np.abs(a - b).max() > 1e-3  # schedule actually changes the field

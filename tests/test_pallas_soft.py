@@ -27,7 +27,7 @@ def test_softmin_bwd_kernel_matches_xla(band, t):
     s = softsdf._band_softmin_fwd_impl(gext, band, t, 0)
     ct = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
     got = np.asarray(pallas_soft.softmin_col_bwd(gext, s, ct, band, t, interpret=True))
-    (want,) = softsdf._band_softmin_ext_bwd(band, t, 0, (gext, s), ct)
+    want, _ = softsdf._band_softmin_ext_bwd(band, 0, None, (gext, jnp.float32(t), s), ct)
     np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4, atol=2e-5)
 
 

@@ -48,6 +48,10 @@ def atlas_sdf(
         )
     n, h, _ = b.shape
     check_mesh(mesh, n, h)
+    return _atlas_sharded(b, config, mesh)
+
+
+def _atlas_sharded(b, config, mesh):
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
     has_data = "data" in axes and axes["data"] > 1
     spec = P("data", "y", None) if "data" in axes else P("y", None)
@@ -60,3 +64,35 @@ def atlas_sdf(
         band=config.effective_band,
         batch_axis="data" if "data" in axes else None,
     )
+
+
+def atlas_sdf_spread_sweep(
+    images: jnp.ndarray,
+    spreads,
+    config: SdfConfig = SdfConfig(),
+    band: Optional[int] = None,
+) -> jnp.ndarray:
+    """(N, H, W, 2) uint8 + a list of spreads -> (len(spreads), N, H, W)
+    uint8: the same atlas at multiple falloff ranges (mip-style levels,
+    training curricula). ALL spreads share ONE compiled kernel
+    (ops.pallas_edt.fused_sdf_bytes_dynamic — byte-identical to running
+    atlas_sdf per spread, one band bucket >= max(spreads) + 2); a novel
+    Mosaic kernel otherwise costs ~minutes to compile per spread value."""
+    from chaq_sdfgen_tpu.ops.pallas_edt import fused_sdf_bytes_dynamic
+
+    images = jnp.asarray(images)
+    if images.ndim != 4 or images.shape[-1] != 2:
+        raise ValueError(f"expected (N, H, W, 2) gray+alpha stack, got {images.shape}")
+    spreads = [int(s) for s in spreads]
+    if band is None:
+        band = -((-(max(spreads) + 2)) // 16) * 16  # round up to 16
+    b = threshold.hard_threshold(
+        images, channel=config.channel_offset, test_above=not config.invert
+    )
+    outs = [
+        fused_sdf_bytes_dynamic(
+            b, jnp.int32(s), band=band, asymmetric=config.asymmetric
+        )
+        for s in spreads
+    ]
+    return jnp.stack(outs)

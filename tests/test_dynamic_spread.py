@@ -108,3 +108,16 @@ def test_soft_sdf_field_traced_temperature():
     want = np.asarray(softsdf.soft_sdf_field(gray, 6, tau=2.0, temperature=1.0))
     np.testing.assert_allclose(a, want, rtol=2e-5, atol=2e-5)
     assert np.abs(a - b).max() > 1e-3  # schedule actually changes the field
+
+
+def test_atlas_spread_sweep_matches_per_spread():
+    from chaq_sdfgen_tpu.config import SdfConfig
+    from chaq_sdfgen_tpu.models.atlas import atlas_sdf, atlas_sdf_spread_sweep
+
+    rng = np.random.default_rng(9)
+    imgs = (rng.random((2, 64, 96, 2)) * 255).astype(np.uint8)
+    spreads = [5, 14, 30]
+    sweep = np.asarray(atlas_sdf_spread_sweep(jnp.asarray(imgs), spreads))
+    for i, s in enumerate(spreads):
+        want = np.asarray(atlas_sdf(jnp.asarray(imgs), SdfConfig(spread=s)))
+        assert (sweep[i] == want).all(), (s, int((sweep[i] != want).sum()))

@@ -36,6 +36,14 @@ def pytest_unconfigure(config):
     os._exit(getattr(config, "_exitstatus", 0))
 
 
+def needs_devices(n: int) -> None:
+    """Skip on backends with fewer than n devices (the real-chip run,
+    CHAQ_TPU_TESTS=1, has exactly one; the CPU mesh has 8)."""
+    have = len(jax.devices())
+    if have < n:
+        pytest.skip(f"needs {n} devices, have {have}")
+
+
 @pytest.fixture(scope="session")
 def sample_input_2ch():
     from sdfref.oracle import load_image_gray_alpha

@@ -14,6 +14,8 @@ from chaq_sdfgen_tpu.parallel import mesh as meshlib
 from chaq_sdfgen_tpu.parallel.distributed import check_mesh, global_mesh
 
 
+from conftest import needs_devices
+
 def _stack(rng, n, h, w):
     imgs = np.zeros((n, h, w, 2), dtype=np.uint8)
     imgs[..., 1] = np.where(rng.random((n, h, w)) < 0.4, 255, 0)
@@ -25,6 +27,7 @@ def test_atlas_sharded_matches_single_chip():
     rng = np.random.default_rng(0)
     imgs = _stack(rng, 4, 32, 24)
     cfg = SdfConfig(spread=6)
+    needs_devices(8)
     mesh = meshlib.make_mesh((2, 4), ("data", "y"))
     got = np.asarray(atlas_sdf(jnp.asarray(imgs), cfg, mesh))
     for i in range(4):
@@ -45,6 +48,7 @@ def test_atlas_rejects_bad_shapes():
 
 
 def test_check_mesh_errors():
+    needs_devices(8)
     mesh = meshlib.make_mesh((2, 4), ("data", "y"))
     check_mesh(mesh, batch=4, height=32)
     with pytest.raises(ValueError):
@@ -101,6 +105,7 @@ def test_two_process_dcn_atlas_bitwise():
 
 
 def test_global_mesh_single_host():
+    needs_devices(8)
     m = global_mesh(y_per_host=4)
     assert dict(zip(m.axis_names, m.devices.shape)) == {"data": 2, "y": 4}
     m2 = global_mesh()

@@ -50,6 +50,9 @@ def test_entry_compiles_single_chip():
 
 @pytest.mark.parametrize("n", [4, 8])
 def test_dryrun_multichip(n):
+    from conftest import needs_devices
+
+    needs_devices(n)  # real-chip run: backend already initialized, 1 device
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(n)

@@ -13,11 +13,14 @@ from chaq_sdfgen_tpu.parallel.halo import exchange_row_halo
 from chaq_sdfgen_tpu.parallel.pallas_halo import exchange_row_halo_rdma
 
 
+from conftest import needs_devices
+
 @pytest.mark.parametrize("n,band", [(4, 3), (8, 8)])
 def test_rdma_halo_matches_ppermute(n, band):
     rng = np.random.default_rng(n)
     h, w = 8 * n, 128
     g = jnp.asarray(rng.random((h, w)).astype(np.float32))
+    needs_devices(n)
     mesh = meshlib.make_mesh((n,), ("y",))
     fill = 123.5
 
@@ -46,6 +49,7 @@ def test_rdma_halo_multihop_matches_ppermute(band):
     # band > 8-row shards: the hop-wise full-block RDMA chain must agree
     # with the multi-hop ppermute halo bitwise
     rng = np.random.default_rng(band)
+    needs_devices(8)
     mesh = meshlib.make_mesh((8,), ("y",))
     g = jnp.asarray(rng.random((64, 128)).astype(np.float32))
     fill = -7.25

@@ -15,7 +15,10 @@ from chaq_sdfgen_tpu.parallel import mesh as meshlib
 from chaq_sdfgen_tpu.parallel.sharded import sharded_hard_sdf_bytes, sharded_soft_sdf_field
 
 
+from conftest import needs_devices
+
 def _mesh1d(n):
+    needs_devices(n)
     return meshlib.make_mesh((n,), ("y",))
 
 
@@ -43,6 +46,7 @@ def test_sharded_hard_band_larger_than_shard():
 def test_sharded_hard_batched_2d_mesh():
     rng = np.random.default_rng(1)
     b = rng.random((4, 32, 24)) < 0.4
+    needs_devices(8)
     mesh = meshlib.make_mesh((2, 4), ("data", "y"))
     got = sharded_hard_sdf_bytes(jnp.asarray(b), 6, mesh, batch_axis="data")
     want = hard_sdf_exact_from_bool(jnp.asarray(b), 6, use_pallas=False)
@@ -172,6 +176,7 @@ def test_sharded_soft_gradient_flows_across_shards():
 
 
 def test_row_sharding_placement():
+    needs_devices(8)
     mesh = meshlib.make_mesh((2, 4), ("data", "y"))
     sh = meshlib.row_sharding(mesh, batch_axis="data")
     x = jax.device_put(jnp.zeros((2, 32, 8)), sh)

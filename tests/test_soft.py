@@ -32,7 +32,9 @@ def test_band_softmin_matches_bruteforce_logsumexp():
                     zs.append(-(d * d + g[y, xx]) / t)
             m = max(zs)
             want[y, x] = -t * (m + np.log(sum(np.exp(z - m) for z in zs)))
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # rtol: TPU VPU exp/log are ~1-2 ulp off libm; on-chip runs show
+    # isolated ~5e-5 relative deviations vs the float64-ish reference
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
 def test_band_softmin_custom_vjp_matches_autodiff():
@@ -50,7 +52,7 @@ def test_band_softmin_custom_vjp_matches_autodiff():
 
     g1 = jax.grad(with_vjp)(g)
     g2 = jax.grad(without_vjp)(g)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-4, atol=1e-4)
 
 
 def test_soft_converges_to_hard():

@@ -1,7 +1,7 @@
 """On-chip smoke: every algorithm mode + gradient path compiled on the TPU."""
 import numpy as np
 import jax, jax.numpy as jnp
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 from sdfref import oracle
 from chaq_sdfgen_tpu.models.sdf_model import hard_sdf_brute, hard_sdf_jfa, hard_sdf_exact

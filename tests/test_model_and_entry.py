@@ -56,3 +56,30 @@ def test_dryrun_multichip(n):
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(n)
+
+
+def test_dryrun_multichip_after_backend_preinit():
+    """The driver may call entry() (initializing a 1-device backend — on
+    hardware, the TPU tunnel) before dryrun_multichip in the SAME
+    process. XLA_FLAGS force-count and jax_num_cpu_devices are ignored
+    once a client exists, so dryrun must tear backends down and re-init
+    as an n-device CPU mesh (jax.extend.backend.clear_backends path)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "jnp.ones(4).sum()\n"  # force 1-device backend init (no force flags)
+        "assert len(jax.devices()) < 8, 'precondition: backend must start small'\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=540,
+    )
+    assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
+    assert "dryrun_multichip(8)" in r.stdout

@@ -1,0 +1,101 @@
+"""Probe: pass-1 soft-min as an MXU convolution (round-3 plan, NOTES.md).
+
+For bounded (u8-range) gray, heights h = T*softplus(-+l) are bounded by
+h_max = T*softplus(127.5/tau), so every tap that can contribute more
+than exp(-CUT) relative lies within K = ceil(sqrt(CUT*T + h_max)) and
+the exp-sum needs NO per-pixel shift: s = w (*) exp(-h/T) with
+w(k) = exp(-k^2/T) all in f32 normal range. This times that conv
+formulation (XLA -> MXU, precision HIGHEST) for BOTH fields against the
+current F1 Pallas kernel and checks accuracy vs the XLA scan oracle.
+"""
+import math
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo/scripts")
+from _timing import device_ms_per_iter
+
+from chaq_sdfgen_tpu.ops import pallas_soft_fused as F
+from chaq_sdfgen_tpu.ops import softsdf, threshold
+from chaq_sdfgen_tpu.ops.edt import big_sentinel
+
+N = 4096
+spread = 64
+band = spread + 2
+T = 1.0
+tau = 2.0
+eps = 1e-6
+CUT = 27.0
+big = big_sentinel(band)
+rng = np.random.default_rng(0)
+gray = jnp.asarray((rng.random((N, N)) * 255).astype(np.float32))
+
+h_max = T * math.log1p(math.exp(127.5 / tau))
+K = math.ceil(math.sqrt(CUT * T + h_max))
+print(f"h_max={h_max:.2f}  K={K}  taps={2*K+1} (band={band})", flush=True)
+
+
+def conv_softmin_rows(h, K, T):
+    """soft-min along axis 1 (rows) via conv; h (H,W) f32 bounded."""
+    e = jnp.exp(-h / jnp.float32(T))
+    w = jnp.exp(-(jnp.arange(-K, K + 1, dtype=jnp.float32) ** 2) / jnp.float32(T))
+    s = jax.lax.conv_general_dilated(
+        e[:, None, :], w[None, None, :], (1,), [(K, K)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )[:, 0, :]
+    return -jnp.float32(T) * jnp.log(s)
+
+
+def p1_conv(g):
+    """Full pass-1 equivalent: logits -> both fields' heights -> 2 convs.
+    Returns (s1_in, s1_out, logitsT) in natural layout + transposed logits."""
+    l = threshold.soft_logits(g, tau=tau)
+    h_in = threshold.soft_log_indicator_from_logits(l, T, True, big)
+    h_out = threshold.soft_log_indicator_from_logits(l, T, False, big)
+    return (
+        conv_softmin_rows(h_in, K, T),
+        conv_softmin_rows(h_out, K, T),
+        l.T,
+    )
+
+
+# ---- accuracy vs the XLA scan oracle (band taps, streaming shift) ----
+l = threshold.soft_logits(gray, tau=tau)
+h_in = threshold.soft_log_indicator_from_logits(l, T, True, big)
+ref = jax.jit(lambda h: softsdf.band_softmin(h, band, T, axis=1))(h_in)
+got = jax.jit(lambda g: p1_conv(g)[0])(gray)
+ref, got = np.asarray(ref), np.asarray(got)
+err = np.abs(got - ref)
+rel = err / np.maximum(np.abs(ref), 1e-6)
+print(f"S1_in  max abs err {err.max():.3e}  max rel {rel.max():.3e}", flush=True)
+
+# ---- timing: conv pass-1 vs current F1 kernel ----
+fi = lambda i: i.astype(jnp.float32)
+
+# full sums: slicing XLA-composed outputs lets XLA elide rows (NOTES.md);
+# the 3 full reduces add ~0.3 ms vs the Pallas row's sliced digest — the
+# conv number below is therefore an UPPER bound.
+ms, *_ = device_ms_per_iter(
+    lambda i, g: sum(jnp.sum(x) for x in p1_conv(g + fi(i))), gray
+)
+print(f"conv pass-1 (both fields + logitsT)      {ms:8.3f} ms/iter  (incl. ~0.3 ms digest)", flush=True)
+
+ms, *_ = device_ms_per_iter(
+    lambda i, g: sum(
+        jnp.sum(x[:64])
+        for x in F.f1_pass(g + fi(i), F._params(tau, T, eps), N, N, band, True,
+                           jnp.float32, False)
+    ),
+    gray,
+)
+print(f"F1 Pallas kernel (S1cat+logitsT+s1t_cat) {ms:8.3f} ms/iter", flush=True)
+
+os._exit(0)

@@ -1,0 +1,102 @@
+"""Probe 2: pass-1 soft-min as block-windowed EINSUM on the MXU.
+
+prof_conv_p1.py showed lax.conv never reaches the MXU for short 1-D
+windows. Here the same unshifted exp-sum (NOTES.md bounded-heights
+argument) is phrased as a batched matmul XLA does put on the MXU:
+overlapping (128+2K)-wide windows built by block reshape + roll (cheap
+copies), contracted with the constant (128+2K, 128) band matrix.
+"""
+import math
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo/scripts")
+from _timing import device_ms_per_iter
+
+from chaq_sdfgen_tpu.ops import pallas_soft_fused as F
+from chaq_sdfgen_tpu.ops import softsdf, threshold
+from chaq_sdfgen_tpu.ops.edt import big_sentinel
+
+N = 4096
+spread = 64
+band = spread + 2
+T = 1.0
+tau = 2.0
+eps = 1e-6
+CUT = 27.0
+big = big_sentinel(band)
+BLK = 128
+rng = np.random.default_rng(0)
+gray = jnp.asarray((rng.random((N, N)) * 255).astype(np.float32))
+
+h_max = T * math.log1p(math.exp(127.5 / tau))
+K = math.ceil(math.sqrt(CUT * T + h_max))
+print(f"K={K}  window={BLK + 2 * K}", flush=True)
+
+# constant band matrix: W[j, q] = exp(-(j - q - K)^2 / T), |j-q-K| <= K else 0
+j = np.arange(BLK + 2 * K)[:, None]
+q = np.arange(BLK)[None, :]
+d = j - q - K
+Wnp = np.where(np.abs(d) <= K, np.exp(-(d.astype(np.float64) ** 2) / T), 0.0)
+W = jnp.asarray(Wnp.astype(np.float32))
+
+
+def softmin_rows_mm(h, precision):
+    """soft-min along axis 1 via block-windowed matmul; h (H, W) f32."""
+    e = jnp.exp(-h / jnp.float32(T))
+    hgt, wid = e.shape
+    nb = wid // BLK
+    eb = e.reshape(hgt, nb, BLK)
+    left = jnp.roll(eb, 1, axis=1)[:, :, BLK - K:]
+    left = left.at[:, 0, :].set(0.0)  # exp(-PAD) = 0 beyond the border
+    right = jnp.roll(eb, -1, axis=1)[:, :, :K]
+    right = right.at[:, -1, :].set(0.0)
+    win = jnp.concatenate([left, eb, right], axis=2)  # (H, nb, BLK+2K)
+    s = jnp.einsum("hbj,jq->hbq", win, W, precision=precision)
+    return -jnp.float32(T) * jnp.log(s.reshape(hgt, wid))
+
+
+l = threshold.soft_logits(gray, tau=tau)
+h_in = threshold.soft_log_indicator_from_logits(l, T, True, big)
+ref = np.asarray(jax.jit(lambda h: softsdf.band_softmin(h, band, T, axis=1))(h_in))
+
+for prec in (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT):
+    got = np.asarray(jax.jit(lambda h: softmin_rows_mm(h, prec))(h_in))
+    err = np.abs(got - ref)
+    print(f"{str(prec):28s} max abs err {err.max():.3e}", flush=True)
+
+fi = lambda i: i.astype(jnp.float32)
+
+
+def p1_mm(g, prec):
+    l = threshold.soft_logits(g, tau=tau)
+    hi = threshold.soft_log_indicator_from_logits(l, T, True, big)
+    ho = threshold.soft_log_indicator_from_logits(l, T, False, big)
+    return softmin_rows_mm(hi, prec), softmin_rows_mm(ho, prec), l.T
+
+
+for prec in (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT):
+    ms, *_ = device_ms_per_iter(
+        lambda i, g: sum(jnp.sum(x) for x in p1_mm(g + fi(i), prec)), gray
+    )
+    print(f"einsum pass-1 both fields {str(prec):20s} {ms:8.3f} ms/iter (incl ~0.3 digest)",
+          flush=True)
+
+ms, *_ = device_ms_per_iter(
+    lambda i, g: sum(
+        jnp.sum(x[:64])
+        for x in F.f1_pass(g + fi(i), F._params(tau, T, eps), N, N, band, True,
+                           jnp.float32, False)
+    ),
+    gray,
+)
+print(f"F1 Pallas kernel (reference)              {ms:8.3f} ms/iter", flush=True)
+
+os._exit(0)

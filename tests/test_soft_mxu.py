@@ -1,0 +1,87 @@
+"""MXU pass-1 soft path (ops/soft_mxu.py) vs the composed reference.
+
+Runs the pass-2 Pallas kernels in interpret mode on CPU; the reference
+is the composed XLA-scan path (full-band, streaming-shifted), so these
+tests bound BOTH the K-tap truncation and the matmul formulation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chaq_sdfgen_tpu.ops import soft_mxu, softsdf
+
+TAU, T, EPS = 2.0, 1.0, 1e-6
+
+
+def _composed(gray, spread, **kw):
+    env = dict(CHAQ_SOFT_FUSED="0")
+    import os
+
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        return softsdf.soft_sdf_field(gray, spread, tau=TAU, temperature=T, eps=EPS, **kw)
+    finally:
+        for k, v in old.items():
+            os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
+
+
+@pytest.mark.parametrize("shape,spread", [((129, 130), 9), ((256, 256), 14)])
+def test_mxu_field_matches_composed(shape, spread):
+    rng = np.random.default_rng(3)
+    gray = jnp.asarray((rng.random(shape) * 255).astype(np.float32))
+    band = spread + 2
+    got = soft_mxu.soft_sdf_field_mxu(gray, band, TAU, T, EPS, interpret=True)
+    want = _composed(gray, spread)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=0)
+
+
+def test_mxu_gradient_matches_composed():
+    rng = np.random.default_rng(5)
+    gray = jnp.asarray((rng.random((136, 140)) * 255).astype(np.float32))
+    spread = 9
+    band = spread + 2
+    w = jnp.asarray(rng.standard_normal((136, 140)).astype(np.float32))
+
+    def loss_mxu(g):
+        return jnp.sum(w * soft_mxu.soft_sdf_field_mxu(g, band, TAU, T, EPS, interpret=True))
+
+    def loss_ref(g):
+        return jnp.sum(w * _composed(g, spread))
+
+    g1 = jax.grad(loss_mxu)(gray)
+    g2 = jax.grad(loss_ref)(gray)
+    scale = float(jnp.max(jnp.abs(g2))) + 1e-12
+    np.testing.assert_allclose(
+        np.asarray(g1) / scale, np.asarray(g2) / scale, atol=5e-3, rtol=0
+    )
+
+
+def test_mxu_inverted_test_above():
+    rng = np.random.default_rng(7)
+    gray = jnp.asarray((rng.random((130, 132)) * 255).astype(np.float32))
+    band = 10
+    got = soft_mxu.soft_sdf_field_mxu(
+        gray, band, TAU, T, EPS, test_above=False, interpret=True
+    )
+    want = _composed(gray, band - 2, test_above=False, band=band)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=0)
+
+
+def test_mxu_gate():
+    gray = jnp.zeros((64, 64), jnp.float32)
+    # traced params / missing range / batched inputs are rejected
+    assert not soft_mxu.mxu_ok(gray, 10, jnp.float32(2.0), 1.0, (0.0, 255.0))
+    assert not soft_mxu.mxu_ok(gray, 10, 2.0, 1.0, None)
+    assert not soft_mxu.mxu_ok(gray[None], 10, 2.0, 1.0, (0.0, 255.0))
+    # out-of-gamut range (h_max/T too large for the global shift)
+    assert soft_mxu._range_stats(10, 0.1, 1.0, (0.0, 255.0)) is None
+    with pytest.raises(ValueError):
+        soft_mxu.soft_sdf_field_mxu(
+            gray, 10, 0.1, 1.0, EPS, gray_range=(0.0, 255.0), interpret=True
+        )
+    # in-gamut: K clamps to band, shift activates for wider ranges
+    k, c = soft_mxu._range_stats(10, 2.0, 1.0, (0.0, 255.0))
+    assert 1 <= k <= 10 and c >= 0.0

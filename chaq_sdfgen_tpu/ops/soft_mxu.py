@@ -57,6 +57,10 @@ def _range_stats(band, tau, temperature, gray_range):
     if h_max / t > _HMAX_OVER_T_LIMIT:
         return None
     k = min(int(math.ceil(math.sqrt(_CUT * t + h_max))), int(band))
+    if k > _BLK:
+        # the window construction in _softmin_rows_mm slices k columns out
+        # of a BLK-wide block; wider taps would mis-slice at trace time
+        return None
     c = max(0.0, h_max - 60.0 * t)
     return max(k, 1), c
 
@@ -94,8 +98,20 @@ def _softmin_rows_mm(e, wmat, k, temperature, shift):
     right = right.at[:, -1, :].set(jnp.float32(0.0))
     win = jnp.concatenate([left, eb, right], axis=2)  # (hgt, nb, BLK+2K)
     s = jnp.einsum("hbj,jq->hbq", win, wmat, precision=jax.lax.Precision.HIGHEST)
-    s = jnp.maximum(s.reshape(hgt, wid), jnp.float32(1e-38))
-    return jnp.float32(shift) - jnp.float32(temperature) * jnp.log(s)
+    s = s.reshape(hgt, wid)
+    # Fully-dead windows (padded columns beyond the image) sum to exactly
+    # 0. A subnormal floor (1e-38) flushes back to 0 and log(0) = -inf
+    # puts +inf into s1cat; the einsum VJP then turns that into inf*0 NaN
+    # that contaminates live pixels. Double-where with a NORMAL-range
+    # floor: dead windows go straight to the PAD sentinel and the log
+    # never sees a non-positive argument on either pass of AD. Live
+    # windows are safe: the k=0 tap alone contributes
+    # exp((c - h)/T) >= e^-60 ~ 9e-27 >> 1e-30 by the global-shift bound.
+    flo = jnp.float32(1e-30)
+    live = s > flo
+    s_safe = jnp.where(live, s, jnp.float32(1.0))
+    s1 = jnp.float32(shift) - jnp.float32(temperature) * jnp.log(s_safe)
+    return jnp.where(live, s1, jnp.float32(PF._PAD_H))
 
 
 def _pass1_s1cat(gray_p, h, w, band, tau, temperature, test_above, k, shift):
@@ -116,6 +132,11 @@ def _pass1_s1cat(gray_p, h, w, band, tau, temperature, test_above, k, shift):
     wmat = _band_matrix(k, temperature)
     s1_in = _softmin_rows_mm(e_in, wmat, k, temperature, shift)
     s1_out = _softmin_rows_mm(e_out, wmat, k, temperature, shift)
+    # Dead columns within K of the image edge still see live taps in
+    # their window and would carry finite values; the fused F1 layout
+    # (which f2_pass's skip bounds assume) puts the PAD sentinel there.
+    s1_in = jnp.where(live_c, s1_in, jnp.float32(PF._PAD_H))
+    s1_out = jnp.where(live_c, s1_out, jnp.float32(PF._PAD_H))
     s1 = jnp.concatenate([s1_in, s1_out], axis=1)  # (hp, 2wl)
     live_r = jnp.arange(hp)[:, None] < h
     s1 = jnp.where(live_r, s1, jnp.float32(PF._PAD_H))
@@ -174,6 +195,11 @@ def soft_sdf_field_mxu(
     mild overshoot degrades gracefully, see module docstring).
     Differentiable wrt gray (pass 1 by XLA AD, pass 2 via the B2 kernel).
     """
+    if not PF.fused_geometry_ok(gray, band):
+        raise ValueError(
+            f"shape {gray.shape} / band {band} outside the fused pass-2 "
+            f"kernel geometry; use the fused/composed path (mxu_ok gates this)"
+        )
     stats = _range_stats(band, tau, temperature, gray_range)
     if stats is None:
         raise ValueError(

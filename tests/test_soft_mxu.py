@@ -53,10 +53,38 @@ def test_mxu_gradient_matches_composed():
 
     g1 = jax.grad(loss_mxu)(gray)
     g2 = jax.grad(loss_ref)(gray)
+    assert np.isfinite(np.asarray(g1)).all()
     scale = float(jnp.max(jnp.abs(g2))) + 1e-12
+    # atol 7e-3: pixels right at the sigmoid knee (gray ~ 127.5) have
+    # op-order-sensitive analytic gradients (einsum HIGHEST vs streaming
+    # scan); both paths FD-verify to 0.03% there, the analytic values
+    # differ by up to ~0.6% of the gradient scale (measured: 1 px of 19k)
     np.testing.assert_allclose(
-        np.asarray(g1) / scale, np.asarray(g2) / scale, atol=5e-3, rtol=0
+        np.asarray(g1) / scale, np.asarray(g2) / scale, atol=7e-3, rtol=0
     )
+
+
+def test_mxu_gradient_vs_finite_difference():
+    rng = np.random.default_rng(11)
+    h, w = 136, 140
+    gray0 = (rng.random((h, w)) * 255).astype(np.float32)
+    weights = rng.standard_normal((h, w)).astype(np.float32)
+    band = 11
+
+    def loss(g):
+        s = soft_mxu.soft_sdf_field_mxu(g, band, TAU, T, EPS, interpret=True)
+        return jnp.vdot(s, jnp.asarray(weights))
+
+    grad = np.asarray(jax.grad(loss)(jnp.asarray(gray0)))
+    assert np.isfinite(grad).all()
+    f = jax.jit(loss)
+    eps = 0.25
+    for _ in range(8):
+        y, x = rng.integers(0, h), rng.integers(0, w)
+        gp = gray0.copy(); gp[y, x] += eps
+        gm = gray0.copy(); gm[y, x] -= eps
+        fd = (float(f(jnp.asarray(gp))) - float(f(jnp.asarray(gm)))) / (2 * eps)
+        assert abs(fd - grad[y, x]) <= 2e-2 + 0.05 * abs(fd), (y, x, fd, grad[y, x])
 
 
 def test_mxu_inverted_test_above():
@@ -68,6 +96,33 @@ def test_mxu_inverted_test_above():
     )
     want = _composed(gray, band - 2, test_above=False, band=band)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=0)
+
+
+def test_mxu_vmapped_matches_2d():
+    """The default dispatch vmaps soft_sdf_field_mxu over leading axes for
+    batched (atlas) inputs — the batched result must equal per-image calls."""
+    rng = np.random.default_rng(13)
+    gray = jnp.asarray((rng.random((2, 130, 132)) * 255).astype(np.float32))
+    band = 10
+
+    def f(g):
+        return soft_mxu.soft_sdf_field_mxu(g, band, TAU, T, EPS, interpret=True)
+
+    got = jax.vmap(f)(gray)
+    for i in range(gray.shape[0]):
+        np.testing.assert_allclose(
+            np.asarray(got[i]), np.asarray(f(gray[i])), atol=1e-5, rtol=0
+        )
+
+
+def test_soft_sdf_field_accepts_gray_range():
+    """gray_range is advisory: off-TPU (mxu_ok false) the dispatch falls
+    through and the result is identical to the undeclared-range call."""
+    rng = np.random.default_rng(17)
+    gray = jnp.asarray((rng.random((64, 66)) * 255).astype(np.float32))
+    a = softsdf.soft_sdf_field(gray, 8, tau=TAU, temperature=T, gray_range=(0.0, 255.0))
+    b = softsdf.soft_sdf_field(gray, 8, tau=TAU, temperature=T)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_mxu_gate():

@@ -40,7 +40,7 @@ def _load():
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        for name in ("png", "bmp", "tga", "pnm"):
+        for name in ("png", "bmp", "tga", "pnm", "jpg"):
             dec = getattr(lib, f"sdfio_decode_{name}")
             dec.restype = ctypes.c_int
             dec.argtypes = [
@@ -86,6 +86,8 @@ def _sniff(data: bytes) -> Optional[str]:
         return "bmp"
     if data[:1] == b"P" and data[1:2] in (b"2", b"3", b"5", b"6"):
         return "pnm"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpg"
     # TGA has no magic; accept via uncompressed type bytes
     if len(data) > 18 and data[1] == 0 and data[2] in (2, 3):
         return "tga"

@@ -641,4 +641,373 @@ int sdfio_encode_jpg(const uint8_t* gray, int w, int h, int quality, uint8_t** o
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Baseline JPEG decode: sequential DCT, 8-bit precision, 1-3 components,
+// subsampling factors 1 and 2, restart markers. Float separable IDCT
+// (exact mirror of the encoder's FDCT basis), libjpeg-style triangle
+// ("fancy") chroma upsampling, JFIF YCbCr -> stb integer luminance.
+// Progressive (SOF2) / arithmetic / 12-bit inputs return -20 and the
+// Python layer falls back to PIL — same split the reference's stb layer
+// has between its decoder and unsupported variants.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct JDHuff {
+    // spec F.2.2.3 decode tables built from the DHT BITS/HUFFVAL lists
+    uint8_t vals[256];
+    int32_t mincode[17];
+    int32_t maxcode[18];
+    int32_t valptr[17];
+    bool defined = false;
+
+    void prepare(const uint8_t bits[17]) {
+        int code = 0, k = 0;
+        for (int l = 1; l <= 16; ++l) {
+            valptr[l] = k;
+            mincode[l] = code;
+            code += bits[l];
+            k += bits[l];
+            maxcode[l] = code - 1;
+            if (bits[l] == 0) maxcode[l] = -1;
+            code <<= 1;
+        }
+        maxcode[17] = 0x7fffffff;  // sentinel
+        defined = true;
+    }
+};
+
+struct JDBits {
+    const uint8_t* d;
+    size_t len;
+    size_t pos;
+    uint32_t acc = 0;
+    int n = 0;
+    int pending_marker = 0;  // 0xD0.. seen inside entropy data
+    bool truncated = false;
+
+    int next_bit() {
+        if (n == 0) {
+            if (pending_marker || pos >= len) {
+                truncated = true;
+                return 0;  // pad (spec: decoder may pad a truncated stream)
+            }
+            uint8_t b = d[pos++];
+            if (b == 0xff) {
+                uint8_t m = pos < len ? d[pos] : 0xd9;
+                if (m == 0x00) {
+                    ++pos;  // stuffed 0xff data byte
+                } else {
+                    pending_marker = m;
+                    truncated = m == 0xd9 ? truncated : truncated;
+                    return 0;
+                }
+            }
+            acc = b;
+            n = 8;
+        }
+        --n;
+        return (acc >> n) & 1;
+    }
+
+    void byte_align() { n = 0; }
+};
+
+static int jd_decode(JDBits& br, const JDHuff& h) {
+    // spec F.2.2.3 DECODE
+    int code = br.next_bit();
+    int l = 1;
+    while (code > h.maxcode[l]) {
+        code = (code << 1) | br.next_bit();
+        ++l;
+        if (l > 16) return -1;
+    }
+    return h.vals[h.valptr[l] + code - h.mincode[l]];
+}
+
+static int jd_receive_extend(JDBits& br, int s) {
+    if (s == 0) return 0;
+    int v = 0;
+    for (int i = 0; i < s; ++i) v = (v << 1) | br.next_bit();
+    if (v < (1 << (s - 1))) v += (int)(~0u << s) + 1;  // EXTEND (F.2.2.1)
+    return v;
+}
+
+static void idct8x8(const int coef[64], const uint16_t qt[64], uint8_t* out, int stride) {
+    // separable inverse of the encoder's fdct8x8 (same cosine/scale table)
+    static const DctTab tab;
+    const auto& cs = tab.cs;
+    float dq[64], tmp[64];
+    for (int i = 0; i < 64; ++i) dq[i] = (float)coef[i] * (float)qt[i];
+    for (int v = 0; v < 8; ++v)  // columns: sum over v of cs[v][y]
+        for (int x = 0; x < 8; ++x) {
+            float s = 0;
+            for (int u = 0; u < 8; ++u) s += dq[u * 8 + x] * cs[u][v];
+            tmp[v * 8 + x] = s;
+        }
+    for (int y = 0; y < 8; ++y)
+        for (int x = 0; x < 8; ++x) {
+            float s = 0;
+            for (int u = 0; u < 8; ++u) s += tmp[y * 8 + u] * cs[u][x];
+            int p = (int)lrintf(s + 128.0f);
+            out[y * stride + x] = (uint8_t)(p < 0 ? 0 : (p > 255 ? 255 : p));
+        }
+}
+
+// libjpeg-style fancy (triangle) 2x upsampling along one dimension:
+// out[2i] = (3*in[i] + in[i-1] + 2) >> 2, out[2i+1] = (3*in[i] + in[i+1] + 1) >> 2
+static void upsample2_row(const uint8_t* in, int n, uint8_t* out) {
+    for (int i = 0; i < n; ++i) {
+        int prev = in[i > 0 ? i - 1 : 0], cur = in[i], nxt = in[i + 1 < n ? i + 1 : n - 1];
+        out[2 * i] = (uint8_t)((3 * cur + prev + 2) >> 2);
+        out[2 * i + 1] = (uint8_t)((3 * cur + nxt + 1) >> 2);
+    }
+}
+
+struct JComp {
+    int id = 0, hs = 1, vs = 1, tq = 0, td = 0, ta = 0;
+    int bw = 0, bh = 0;          // blocks across/down for this component
+    std::vector<uint8_t> plane;  // bw*8 x bh*8 samples
+};
+
+}  // namespace
+
+int sdfio_decode_jpg(const uint8_t* data, size_t len, uint8_t** out, int* w, int* h) {
+    if (len < 4 || data[0] != 0xff || data[1] != 0xd8) return -1;
+    size_t pos = 2;
+    uint16_t qt[4][64] = {};
+    bool qt_def[4] = {};
+    JDHuff hdc[4], hac[4];
+    JComp comp[3];
+    int ncomp = 0, width = 0, height = 0, dri = 0;
+    bool have_sof = false;
+
+    auto rd16 = [&](size_t p) { return (int)((data[p] << 8) | data[p + 1]); };
+
+    while (pos + 4 <= len) {
+        if (data[pos] != 0xff) return -2;
+        uint8_t m = data[pos + 1];
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+            pos += 2;
+            continue;
+        }
+        if (m == 0xd9) break;  // EOI before SOS: no image
+        int seglen = rd16(pos + 2);
+        if (seglen < 2 || pos + 2 + seglen > len) return -2;
+        const uint8_t* seg = data + pos + 4;
+        int segn = seglen - 2;
+        if (m == 0xdb) {  // DQT
+            int i = 0;
+            while (i < segn) {
+                int pq = seg[i] >> 4, tq_ = seg[i] & 15;
+                ++i;
+                if (tq_ > 3) return -2;
+                if (pq == 1) {
+                    if (i + 128 > segn) return -2;
+                    for (int k = 0; k < 64; ++k, i += 2)
+                        qt[tq_][kZigzag[k]] = (uint16_t)((seg[i] << 8) | seg[i + 1]);
+                } else {
+                    if (i + 64 > segn) return -2;
+                    for (int k = 0; k < 64; ++k, ++i) qt[tq_][kZigzag[k]] = seg[i];
+                }
+                qt_def[tq_] = true;
+            }
+        } else if (m == 0xc4) {  // DHT
+            int i = 0;
+            while (i + 17 <= segn) {
+                int tc = seg[i] >> 4, th = seg[i] & 15;
+                ++i;
+                if (tc > 1 || th > 3) return -2;
+                uint8_t bits[17] = {0};
+                int total = 0;
+                for (int l = 1; l <= 16; ++l) {
+                    bits[l] = seg[i + l - 1];
+                    total += bits[l];
+                }
+                i += 16;
+                if (total > 256 || i + total > segn) return -2;
+                JDHuff& hh = tc == 0 ? hdc[th] : hac[th];
+                memcpy(hh.vals, seg + i, total);
+                hh.prepare(bits);
+                i += total;
+            }
+        } else if (m == 0xc0 || m == 0xc1) {  // SOF0/1: baseline sequential
+            if (segn < 6) return -2;
+            if (seg[0] != 8) return -20;  // 12-bit: unsupported
+            height = (seg[1] << 8) | seg[2];
+            width = (seg[3] << 8) | seg[4];
+            ncomp = seg[5];
+            if (width <= 0 || height <= 0) return -2;
+            if (ncomp != 1 && ncomp != 3) return -20;
+            if (segn < 6 + ncomp * 3) return -2;
+            for (int c = 0; c < ncomp; ++c) {
+                comp[c].id = seg[6 + c * 3];
+                comp[c].hs = seg[7 + c * 3] >> 4;
+                comp[c].vs = seg[7 + c * 3] & 15;
+                comp[c].tq = seg[8 + c * 3];
+                if (comp[c].hs < 1 || comp[c].hs > 2 || comp[c].vs < 1 || comp[c].vs > 2)
+                    return -20;  // subsampling beyond 2x: unsupported
+                if (comp[c].tq > 3) return -2;
+            }
+            have_sof = true;
+        } else if (m == 0xc2 || (m >= 0xc5 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcf)) {
+            return -20;  // progressive / arithmetic / hierarchical
+        } else if (m == 0xdd) {  // DRI
+            if (segn < 2) return -2;
+            dri = (seg[0] << 8) | seg[1];
+        } else if (m == 0xda) {  // SOS — entropy data follows
+            if (!have_sof) return -2;
+            int ns = seg[0];
+            if (ns != ncomp || segn < 1 + ns * 2 + 3) return -20;  // multi-scan: unsupported
+            for (int s = 0; s < ns; ++s) {
+                int cid = seg[1 + s * 2];
+                int c = -1;
+                for (int k = 0; k < ncomp; ++k)
+                    if (comp[k].id == cid) c = k;
+                if (c < 0) return -2;
+                comp[c].td = seg[2 + s * 2] >> 4;
+                comp[c].ta = seg[2 + s * 2] & 15;
+            }
+            pos += 2 + seglen;
+
+            int hmax = 1, vmax = 1;
+            for (int c = 0; c < ncomp; ++c) {
+                hmax = comp[c].hs > hmax ? comp[c].hs : hmax;
+                vmax = comp[c].vs > vmax ? comp[c].vs : vmax;
+            }
+            int mcux = (width + 8 * hmax - 1) / (8 * hmax);
+            int mcuy = (height + 8 * vmax - 1) / (8 * vmax);
+            for (int c = 0; c < ncomp; ++c) {
+                comp[c].bw = mcux * comp[c].hs;
+                comp[c].bh = mcuy * comp[c].vs;
+                comp[c].plane.assign((size_t)comp[c].bw * 8 * comp[c].bh * 8, 0);
+                if (!qt_def[comp[c].tq]) return -2;
+                if (!hdc[comp[c].td].defined || !hac[comp[c].ta].defined) return -2;
+            }
+
+            JDBits br{data, len, pos};
+            int pred[3] = {0, 0, 0};
+            int mcu_count = 0;
+            for (int my = 0; my < mcuy; ++my) {
+                for (int mx = 0; mx < mcux; ++mx) {
+                    if (dri > 0 && mcu_count > 0 && mcu_count % dri == 0) {
+                        // restart: byte-align, consume RSTn, reset DC preds
+                        br.byte_align();
+                        if (!br.pending_marker && br.pos + 2 <= br.len &&
+                            br.d[br.pos] == 0xff && br.d[br.pos + 1] >= 0xd0 &&
+                            br.d[br.pos + 1] <= 0xd7)
+                            br.pos += 2;
+                        else if (br.pending_marker >= 0xd0 && br.pending_marker <= 0xd7)
+                            br.pending_marker = 0;
+                        pred[0] = pred[1] = pred[2] = 0;
+                    }
+                    for (int c = 0; c < ncomp; ++c) {
+                        for (int v = 0; v < comp[c].vs; ++v) {
+                            for (int hh = 0; hh < comp[c].hs; ++hh) {
+                                int coef[64] = {0};
+                                int t = jd_decode(br, hdc[comp[c].td]);
+                                if (t < 0 || t > 15) return -2;
+                                pred[c] += jd_receive_extend(br, t);
+                                coef[0] = pred[c];
+                                for (int k = 1; k < 64;) {
+                                    int rs = jd_decode(br, hac[comp[c].ta]);
+                                    if (rs < 0) return -2;
+                                    int r = rs >> 4, s = rs & 15;
+                                    if (s == 0) {
+                                        if (r != 15) break;  // EOB
+                                        k += 16;             // ZRL
+                                        continue;
+                                    }
+                                    k += r;
+                                    if (k > 63) return -2;
+                                    coef[kZigzag[k]] = jd_receive_extend(br, s);
+                                    ++k;
+                                }
+                                int bx = mx * comp[c].hs + hh, by = my * comp[c].vs + v;
+                                idct8x8(coef, qt[comp[c].tq],
+                                        comp[c].plane.data() +
+                                            ((size_t)by * 8 * comp[c].bw * 8 + bx * 8),
+                                        comp[c].bw * 8);
+                            }
+                        }
+                    }
+                    ++mcu_count;
+                }
+            }
+
+            // upsample subsampled components to full resolution (triangle
+            // filter per doubled dimension, matching libjpeg's default)
+            std::vector<uint8_t> full[3];
+            for (int c = 0; c < ncomp; ++c) {
+                int cw = comp[c].bw * 8, ch = comp[c].bh * 8;
+                std::vector<uint8_t>* cur = &comp[c].plane;
+                std::vector<uint8_t> tmp;
+                int fw = cw, fh = ch;
+                if (comp[c].hs < hmax) {  // double horizontally
+                    tmp.resize((size_t)fh * cw * 2);
+                    for (int y = 0; y < fh; ++y)
+                        upsample2_row(cur->data() + (size_t)y * cw, cw,
+                                      tmp.data() + (size_t)y * cw * 2);
+                    fw = cw * 2;
+                    *cur = tmp;
+                }
+                if (comp[c].vs < vmax) {  // double vertically (triangle on columns)
+                    tmp.assign((size_t)fw * fh * 2, 0);
+                    for (int y = 0; y < fh; ++y) {
+                        const uint8_t* rp = cur->data() + (size_t)(y > 0 ? y - 1 : 0) * fw;
+                        const uint8_t* rc = cur->data() + (size_t)y * fw;
+                        const uint8_t* rn =
+                            cur->data() + (size_t)(y + 1 < fh ? y + 1 : fh - 1) * fw;
+                        uint8_t* o0 = tmp.data() + (size_t)(2 * y) * fw;
+                        uint8_t* o1 = tmp.data() + (size_t)(2 * y + 1) * fw;
+                        for (int x = 0; x < fw; ++x) {
+                            o0[x] = (uint8_t)((3 * rc[x] + rp[x] + 2) >> 2);
+                            o1[x] = (uint8_t)((3 * rc[x] + rn[x] + 1) >> 2);
+                        }
+                    }
+                    fh *= 2;
+                    *cur = tmp;
+                }
+                full[c] = std::move(*cur);
+                comp[c].bw = fw / 8;  // record full-res stride via bw*8
+            }
+
+            uint8_t* res = (uint8_t*)malloc((size_t)width * height * 2);
+            if (!res) return -3;
+            int stride0 = comp[0].bw * 8;
+            if (ncomp == 1) {
+                for (int y = 0; y < height; ++y)
+                    for (int x = 0; x < width; ++x) {
+                        res[((size_t)y * width + x) * 2] = full[0][(size_t)y * stride0 + x];
+                        res[((size_t)y * width + x) * 2 + 1] = 255;
+                    }
+            } else {
+                int stride1 = comp[1].bw * 8, stride2 = comp[2].bw * 8;
+                for (int y = 0; y < height; ++y)
+                    for (int x = 0; x < width; ++x) {
+                        float Y = full[0][(size_t)y * stride0 + x];
+                        float cb = full[1][(size_t)y * stride1 + x] - 128.0f;
+                        float cr = full[2][(size_t)y * stride2 + x] - 128.0f;
+                        int r = (int)lrintf(Y + 1.402f * cr);
+                        int g = (int)lrintf(Y - 0.344136f * cb - 0.714136f * cr);
+                        int b = (int)lrintf(Y + 1.772f * cb);
+                        uint8_t r8 = (uint8_t)(r < 0 ? 0 : (r > 255 ? 255 : r));
+                        uint8_t g8 = (uint8_t)(g < 0 ? 0 : (g > 255 ? 255 : g));
+                        uint8_t b8 = (uint8_t)(b < 0 ? 0 : (b > 255 ? 255 : b));
+                        res[((size_t)y * width + x) * 2] = stb_luminance(r8, g8, b8);
+                        res[((size_t)y * width + x) * 2 + 1] = 255;
+                    }
+            }
+            *out = res;
+            *w = width;
+            *h = height;
+            return 0;
+        } else {
+            // APPn / COM / anything else: skip
+        }
+        pos += 2 + seglen;
+    }
+    return -2;  // no SOS found
+}
+
 }  // extern "C"

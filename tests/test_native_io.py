@@ -176,3 +176,94 @@ def test_gif_and_pnm_inputs_end_to_end():
     Image.fromarray(arr, "L").save(buf2, format="PPM")
     out2 = dec(buf2.getvalue())
     np.testing.assert_array_equal(out2[..., 0], arr)
+
+
+def _smooth_img(rng, h, w, ch=None):
+    """Low-frequency random image (mild JPEG artifacts)."""
+    shape = (h // 8 + 2, w // 8 + 2) if ch is None else (h // 8 + 2, w // 8 + 2, ch)
+    small = (rng.random(shape) * 255).astype(np.uint8)
+    im = Image.fromarray(small, "L" if ch is None else "RGB")
+    return np.asarray(im.resize((w, h), Image.BILINEAR), np.uint8)
+
+
+def _pil_gray(data):
+    im = Image.open(io.BytesIO(data))
+    if im.mode == "L":
+        return np.asarray(im, np.uint8)
+    arr = np.asarray(im.convert("RGB"), np.uint16)
+    return ((arr[..., 0] * 77 + arr[..., 1] * 150 + 29 * arr[..., 2]) >> 8).astype(np.uint8)
+
+
+def test_jpeg_decode_grayscale_matches_pil():
+    """Native baseline JPEG decode (sdfio.cpp sdfio_decode_jpg) vs PIL:
+    same Huffman/dequant stream, IDCT differs by rounding only (the
+    reference's stb decoder likewise differs from libjpeg by ±1)."""
+    rng = np.random.default_rng(41)
+    img = _smooth_img(rng, 120, 130)
+    data = _pil_bytes(img, "L", "JPEG")
+    got = sdfio_native.decode_gray_alpha(data)
+    assert got is not None and got.shape == (120, 130, 2)
+    assert (got[..., 1] == 255).all()
+    d = np.abs(got[..., 0].astype(int) - _pil_gray(data).astype(int))
+    assert d.max() <= 1, d.max()
+
+
+def test_jpeg_decode_color_420_matches_pil():
+    rng = np.random.default_rng(42)
+    img = _smooth_img(rng, 64, 70, ch=3)
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGB").save(buf, format="JPEG", quality=85)  # 4:2:0
+    data = buf.getvalue()
+    got = sdfio_native.decode_gray_alpha(data)
+    assert got is not None and got.shape == (64, 70, 2)
+    d = np.abs(got[..., 0].astype(int) - _pil_gray(data).astype(int))
+    # chroma upsample phase + fixed-vs-float YCbCr: a few levels at edges
+    assert d.max() <= 3, d.max()
+    assert d.mean() < 0.5, d.mean()
+
+
+def test_jpeg_decode_restart_markers():
+    rng = np.random.default_rng(43)
+    img = _smooth_img(rng, 48, 56)
+    buf = io.BytesIO()
+    Image.fromarray(img, "L").save(buf, format="JPEG", quality=90, restart_marker_blocks=3)
+    data = buf.getvalue()
+    assert b"\xff\xdd" in data  # DRI present
+    got = sdfio_native.decode_gray_alpha(data)
+    assert got is not None
+    d = np.abs(got[..., 0].astype(int) - _pil_gray(data).astype(int))
+    assert d.max() <= 1, d.max()
+
+
+def test_jpeg_decode_own_encoder_roundtrip():
+    """Our encoder's stream decoded by our decoder equals PIL's decode of
+    the same bytes (same entropy data; IDCT rounding only)."""
+    rng = np.random.default_rng(44)
+    img = _smooth_img(rng, 40, 52)
+    data = sdfio_native.encode_gray(img, "jpg", 95)
+    got = sdfio_native.decode_gray_alpha(data)
+    assert got is not None
+    d = np.abs(got[..., 0].astype(int) - _pil_gray(data).astype(int))
+    assert d.max() <= 1, d.max()
+
+
+def test_jpeg_progressive_falls_back_to_pil():
+    rng = np.random.default_rng(45)
+    img = _smooth_img(rng, 32, 32)
+    buf = io.BytesIO()
+    Image.fromarray(img, "L").save(buf, format="JPEG", quality=90, progressive=True)
+    data = buf.getvalue()
+    assert sdfio_native.decode_gray_alpha(data) is None  # native refuses
+    out = decode_gray_alpha(data)  # imageio falls back to PIL
+    np.testing.assert_array_equal(out[..., 0], _pil_gray(data))
+
+
+def test_jpeg_decode_end_to_end_imageio():
+    """decode_gray_alpha takes the native path for baseline JPEG input."""
+    rng = np.random.default_rng(46)
+    img = _smooth_img(rng, 24, 40)
+    data = _pil_bytes(img, "L", "JPEG")
+    out = decode_gray_alpha(data)
+    assert out.shape == (24, 40, 2)
+    d = np.abs(out[..., 0].astype(int) - _pil_gray(data).astype(int))
+    assert d.max() <= 1

@@ -765,15 +765,16 @@ def b1_pass(logitsT, ds1t, s1t_cat, prm, hp, w_real, band, ph, test_above, inter
 # --------------------------------------------------------------------------
 
 
+def fused_geometry_ok(gray: jnp.ndarray, band: int) -> bool:
+    """Shape/band gate alone (backend-independent — interpret-mode callers
+    use this): 2-D, band within the halo-block geometry."""
+    return gray.ndim == 2 and band <= _TM - 16 and gray.shape[0] >= 2
+
+
 def fused_ok(gray: jnp.ndarray, band: int) -> bool:
     """Gate for the fused pipeline: 2-D, band within the halo-block
     geometry, running on real TPU."""
-    return (
-        gray.ndim == 2
-        and band <= _TM - 16
-        and gray.shape[0] >= 2
-        and jax.default_backend() in ("tpu", "axon")
-    )
+    return fused_geometry_ok(gray, band) and jax.default_backend() in ("tpu", "axon")
 
 
 def _params(tau, temperature, eps):
@@ -846,6 +847,99 @@ def soft_sdf_field_fused(gray, band, tau, temperature, eps, test_above, interpre
     return _fused_field_p(
         gray, _params(tau, temperature, eps), band, test_above, interpret, prm_const
     )
+
+
+# --------------------------------------------------------------------------
+# split pipeline (sharded tier): F1-local -> halo(s1) -> F2-extended
+#
+# The sharded soft path (parallel/sharded.py) runs pass 1 shard-locally
+# (rows never cross shards — the omp-for row axis, openmp/df.c:113-117),
+# exchanges a band-row halo of the natural-layout S1 over ICI, and runs
+# pass 2 on the halo-extended block. These two custom-VJP ops expose that
+# seam over the SAME kernels as the single-chip fused pipeline:
+#   pass1_s1:  gray block -> natural-layout s1 (h, 2*WL); backward = B1.
+#   pass2_ext: halo-extended s1ext -> interior field rows; backward = B2
+#     run over the EXTENDED row range, so the halo rows' cotangents come
+#     back too and the halo exchange's AD transpose (ppermute) routes
+#     them to the owning shards.
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def pass1_s1(gray, prm, band, test_above, interpret, prm_const):
+    s1, _ = _p1_fwd(gray, prm, band, test_above, interpret, prm_const)
+    return s1
+
+
+def _p1_fwd(gray, prm, band, test_above, interpret, prm_const):
+    h, w = gray.shape
+    hp = _round_up(max(h, _TM), _TM)
+    wl = _round_up(max(w, 128), 128)
+    gray_p = jnp.pad(gray.astype(jnp.float32), ((0, hp - h), (0, wl - w)))
+    s1cat, logitsT, s1t_cat = f1_pass(
+        gray_p, prm, w, h, band, test_above, jnp.float32, interpret,
+        prm_const=prm_const,
+    )
+    # natural-layout local rows (the TM sentinel blocks and >=h pad rows
+    # are reconstructed by the consumer from halo/fill)
+    s1 = jax.lax.slice_in_dim(s1cat, _TM, _TM + h, axis=0)
+    return s1, (logitsT, s1t_cat, prm, h, w, hp, wl)
+
+
+def _p1_bwd(band, test_above, interpret, prm_const, res, ds1):
+    logitsT, s1t_cat, prm, h, w, hp, wl = res
+    ph = _round_up(2 * band + 24, _TN)
+    ds1_p = jnp.pad(ds1.astype(jnp.float32), ((0, hp - h), (0, 0)))
+    z = jnp.zeros((ph, hp), jnp.float32)
+    slabs = []
+    for fidx in range(2):
+        slabs += [z, ds1_p[:, fidx * wl : (fidx + 1) * wl].T, z]
+    ds1t = jnp.concatenate(slabs, axis=0)  # (2*(ph+wl+ph), hp) — B2's layout
+    dgray = b1_pass(
+        logitsT, ds1t, s1t_cat, prm, hp, w, band, ph, test_above, interpret,
+        prm_const=prm_const,
+    )
+    return (dgray[:h, :w], jnp.zeros((5,), jnp.float32))
+
+
+pass1_s1.defvjp(_p1_fwd, _p1_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def pass2_ext(s1ext, prm, bands, interpret, prm_const):
+    field, _ = _p2e_fwd(s1ext, prm, bands, interpret, prm_const)
+    return field
+
+
+def _p2e_fwd(s1ext, prm, bands, interpret, prm_const):
+    band, halo = bands  # halo >= band rows attached on each side (8-aligned)
+    hb, twl = s1ext.shape
+    pad = jnp.full((_TM, twl), jnp.float32(_PAD_H))
+    s1cat_b = jnp.concatenate([pad, s1ext, pad], axis=0)
+    # F2 over the extended row range: rows within `halo` of either end
+    # read fill/partial data and are discarded (their cotangent is zero
+    # in backward, so their memoized d2 never contributes either)
+    field, d2cat = f2_pass(s1cat_b, prm, hb, band, interpret, prm_const=prm_const)
+    return (
+        jax.lax.slice_in_dim(field, halo, hb - halo, axis=0),
+        (s1cat_b, d2cat, prm, hb),
+    )
+
+
+def _p2e_bwd(bands, interpret, prm_const, res, ct):
+    band, halo = bands
+    s1cat_b, d2cat, prm, hb = res
+    ct_b = jnp.pad(ct.astype(jnp.float32), ((halo, halo), (0, 0)))
+    ds1t, ph = b2_pass(s1cat_b, ct_b, d2cat, prm, band, interpret, prm_const=prm_const)
+    twl = s1cat_b.shape[1]
+    wl = twl // 2
+    slab = ph + wl + ph
+    din = ds1t[ph : ph + wl, :].astype(jnp.float32).T  # (hb, wl)
+    dout = ds1t[slab + ph : slab + ph + wl, :].astype(jnp.float32).T
+    return (jnp.concatenate([din, dout], axis=1), jnp.zeros((5,), jnp.float32))
+
+
+pass2_ext.defvjp(_p2e_fwd, _p2e_bwd)
 
 
 def soft_sdf_field_fused_dynamic(

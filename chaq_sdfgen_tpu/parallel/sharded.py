@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from chaq_sdfgen_tpu.ops import edt, merge, softsdf, threshold
 from chaq_sdfgen_tpu.ops.numerics import refined_sqrt
-from chaq_sdfgen_tpu.parallel.halo import exchange_row_halo
+from chaq_sdfgen_tpu.parallel.halo import exchange_row_halo, fetch_row_slab
 
 
 def _halo_fn(halo: str, interpret: bool):
@@ -178,12 +178,16 @@ def sharded_jfa_distance(
             sy0 = p >> xbits
             sx0 = p & mask
             d2 = jnp.where(p >= 0, (yy - sy0) ** 2 + (xx - sx0) ** 2, invalid)
-            # k-row halo of the full state in global coordinates
-            p_e = exchange_row_halo(p, k, y_axis, -1)
-            for dy in (-k, 0, k):
-                # rows [k+dy, k+dy+h_local) of the extended state
-                ys = k + dy
-                cps = jax.lax.slice_in_dim(p_e, ys, ys + h_local, axis=0)
+            # the dy = ±k taps read exactly the H_local-row slab at global
+            # offset ±k — fetch_row_slab ships only that slab (<= H_local
+            # rows/side, clamped at edge shards), not a contiguous k-row
+            # halo (whole blocks per hop at large strides)
+            slabs = (
+                fetch_row_slab(p, k, y_axis, -1),
+                p,
+                fetch_row_slab(p, -k, y_axis, -1),
+            )
+            for cps in slabs:
                 for dx in (-k, 0, k):
                     if dx != 0:
                         cp = jfa_ops._shift2d(cps, 0, dx, none)
@@ -209,16 +213,23 @@ def sharded_soft_sdf_field(
     tau: float = 1.0,
     temperature: float = 0.5,
     eps: float = 1e-6,
+    test_above: bool = True,
     band: Optional[int] = None,
     y_axis: str = "y",
     batch_axis: Optional[str] = None,
     halo: str = "ppermute",
     interpret: Optional[bool] = None,
+    use_fused: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Sharded differentiable soft SDF (parallel analogue of
     ops.softsdf.soft_sdf_field). Pass 1 local; pass 2 halo'd; fully
     differentiable (ppermute has a transpose rule; the rdma halo carries
-    a custom VJP)."""
+    a custom VJP).
+
+    use_fused=None auto-selects the fused Pallas kernel split
+    (pallas_soft_fused.pass1_s1 / pass2_ext — the kernels behind the
+    single-chip headline) when static params and the per-shard geometry
+    admit them; False forces the portable composed scan cores."""
     band = band if band is not None else spread + 2
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -229,8 +240,53 @@ def sharded_soft_sdf_field(
     else:
         spec = P(batch_axis, y_axis, None)
 
+    n_y = dict(zip(mesh.axis_names, mesh.devices.shape))[y_axis]
+    h_local = gray.shape[-2] // n_y
+    if use_fused is None:
+        from chaq_sdfgen_tpu.ops import pallas_soft_fused as PF
+
+        use_fused = (
+            isinstance(tau, (int, float))
+            and isinstance(temperature, (int, float))
+            and h_local % 8 == 0
+            and h_local >= 2
+            and band <= PF._TM - 16
+            and jax.default_backend() in ("tpu", "axon")
+        )
+
+    if use_fused:
+        from chaq_sdfgen_tpu.ops import pallas_soft_fused as PF
+
+        tau_f, t_f, eps_f = float(tau), float(temperature), float(eps)
+        prm_const = (tau_f, 1.0 / tau_f, t_f, 1.0 / t_f, eps_f)
+        # halo rows are exchanged 8-aligned so the extended pass-2 block
+        # keeps sublane-aligned chunk geometry; the extra rows carry real
+        # neighbour data (or the PAD fill at image edges) and only the
+        # interior is returned
+        halo_rows = -(-band // 8) * 8
+        w_real = gray.shape[-1]
+
+        def local_fused(gray_blk):
+            prm = PF._params(tau_f, t_f, eps_f)
+            s1 = PF.pass1_s1(
+                gray_blk, prm, band, test_above, interpret, prm_const
+            )  # (h_local, 2*WL) natural layout
+            s1ext = halo_fn(s1, halo_rows, y_axis, PF._PAD_H)
+            field = PF.pass2_ext(
+                s1ext, prm, (band, halo_rows), interpret, prm_const
+            )  # (h_local, WL)
+            return field[:, :w_real]
+
+        fn = local_fused
+        if batch_axis is not None:
+            fn = lambda blk: jax.vmap(local_fused)(blk)
+        mapped = jax.shard_map(
+            fn, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False
+        )
+        return mapped(gray)
+
     def local(gray_blk):
-        logits = threshold.soft_logits(gray_blk, tau=tau)
+        logits = threshold.soft_logits(gray_blk, tau=tau, test_above=test_above)
         h_in = threshold.soft_log_indicator_from_logits(logits, temperature, True, big)
         h_out = threshold.soft_log_indicator_from_logits(logits, temperature, False, big)
 

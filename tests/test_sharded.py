@@ -175,6 +175,101 @@ def test_sharded_soft_gradient_flows_across_shards():
     np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_soft_fused_matches_single_chip_fused():
+    """The fused-kernel sharded split (pass1_s1 / halo / pass2_ext) must
+    match the single-chip fused pipeline (same kernels, interpret mode)."""
+    from chaq_sdfgen_tpu.ops import pallas_soft_fused as PF
+
+    rng = np.random.default_rng(21)
+    gray = (rng.random((64, 40)) * 255).astype(np.float32)
+    spread, band = 6, 8
+    mesh = _mesh1d(4)
+    got = np.asarray(
+        sharded_soft_sdf_field(
+            jnp.asarray(gray), spread, mesh, tau=2.0, temperature=1.0,
+            use_fused=True, interpret=True,
+        )
+    )
+    want = np.asarray(
+        PF.soft_sdf_field_fused(jnp.asarray(gray), band, 2.0, 1.0, 1e-6, True,
+                                interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_soft_fused_gradient_matches_single_chip():
+    from chaq_sdfgen_tpu.ops import pallas_soft_fused as PF
+
+    rng = np.random.default_rng(22)
+    gray = (rng.random((32, 24)) * 255).astype(np.float32)
+    spread, band = 5, 7
+    mesh = _mesh1d(4)
+    w = jnp.asarray(rng.standard_normal((32, 24)).astype(np.float32))
+
+    def loss_sharded(g):
+        return jnp.vdot(
+            sharded_soft_sdf_field(
+                g, spread, mesh, tau=2.0, temperature=1.0,
+                use_fused=True, interpret=True,
+            ),
+            w,
+        )
+
+    def loss_single(g):
+        return jnp.vdot(
+            PF.soft_sdf_field_fused(g, band, 2.0, 1.0, 1e-6, True, interpret=True), w
+        )
+
+    g1 = np.asarray(jax.grad(loss_sharded)(jnp.asarray(gray)))
+    g2 = np.asarray(jax.grad(loss_single)(jnp.asarray(gray)))
+    assert np.abs(g2).max() > 0
+    # rtol 2e-2: the single-chip B2 rounds the s1 cotangent to bf16 before
+    # B1; the sharded split keeps it f32 through the halo (strictly more
+    # precise), so individual elements differ by up to ~1 bf16 ulp (0.8%)
+    np.testing.assert_allclose(g1, g2, rtol=2e-2, atol=1e-5)
+
+
+def test_sharded_soft_fused_band_larger_than_shard():
+    # 8 shards of 8 rows, band 10 -> the s1 halo spans multiple shards
+    from chaq_sdfgen_tpu.ops import pallas_soft_fused as PF
+
+    rng = np.random.default_rng(23)
+    gray = (rng.random((64, 24)) * 255).astype(np.float32)
+    spread, band = 8, 10
+    mesh = _mesh1d(8)
+    got = np.asarray(
+        sharded_soft_sdf_field(
+            jnp.asarray(gray), spread, mesh, tau=2.0, temperature=1.0,
+            use_fused=True, interpret=True,
+        )
+    )
+    want = np.asarray(
+        PF.soft_sdf_field_fused(jnp.asarray(gray), band, 2.0, 1.0, 1e-6, True,
+                                interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("use_fused", [False, True])
+def test_sharded_soft_test_above_invert(use_fused):
+    """-n/invert semantics must reach the sharded soft path (both cores)."""
+    rng = np.random.default_rng(24)
+    gray = (rng.random((32, 24)) * 255).astype(np.float32)
+    mesh = _mesh1d(4)
+    got = np.asarray(
+        sharded_soft_sdf_field(
+            jnp.asarray(gray), 6, mesh, tau=2.0, temperature=1.0,
+            test_above=False, use_fused=use_fused, interpret=True,
+        )
+    )
+    want = np.asarray(
+        softsdf.soft_sdf_field(
+            jnp.asarray(gray), 6, tau=2.0, temperature=1.0, test_above=False
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-5)
+
+
 def test_row_sharding_placement():
     needs_devices(8)
     mesh = meshlib.make_mesh((2, 4), ("data", "y"))

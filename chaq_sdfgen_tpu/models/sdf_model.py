@@ -177,36 +177,46 @@ class SDFGenerator:
             )
         raise ValueError(f"unknown algorithm {cfg.algorithm}")  # pragma: no cover
 
-    def kernel_time(self, img2ch, iters: int = 4) -> float:
-        """Device-compute seconds per pipeline run.
+    def kernel_time(self, img2ch, k1: int = 4, k2: int = 36) -> float:
+        """Device-compute seconds per pipeline run, via the two-K slope.
 
         TPU-native analogue of the reference's CL event profiling
         (opencl/main.cpp:333-356, CL_PROFILING_COMMAND_START/END): the
-        pipeline runs `iters` times inside ONE jitted program (input
-        varied per iteration so XLA cannot fold the loop) with a scalar
-        readback, which amortizes per-dispatch host overhead away and
-        times only device compute — unlike wall-clocking one dispatch,
-        which on a remote tunnel is dominated by transfer/dispatch cost.
+        pipeline runs K times inside ONE jitted program (input varied per
+        iteration so XLA cannot fold the loop) with a scalar readback, at
+        two iteration counts; the per-iteration time is the slope
+        (t_k2 - t_k1)/(k2 - k1). Dividing a single loop's wall clock by K
+        would bake the constant per-dispatch overhead (~29 ms on a remote
+        tunnel) into the answer; the slope cancels it exactly — the same
+        methodology as bench.py.
         """
         import time
 
         img2ch = jnp.asarray(img2ch)
         fn = self._pipeline_fn(platform=_array_platform(img2ch))
 
-        @jax.jit
-        def many(x):
-            def body(i, acc):
-                # flip the LSB on odd iterations: changes the input hash
-                # without changing the workload shape
-                o = fn(jnp.bitwise_xor(x, (i % 2).astype(x.dtype)))
-                return acc + jnp.sum(o.astype(jnp.int32))
+        def make_many(iters):
+            @jax.jit
+            def many(x):
+                def body(i, acc):
+                    # flip the LSB on odd iterations: changes the input
+                    # hash without changing the workload shape
+                    o = fn(jnp.bitwise_xor(x, (i % 2).astype(x.dtype)))
+                    return acc + jnp.sum(o.astype(jnp.int32))
 
-            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+                return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
-        int(many(img2ch))  # warm-up: compile + first run
-        best = float("inf")
-        for _ in range(2):
+            return many
+
+        f1, f2 = make_many(k1), make_many(k2)
+        int(f1(img2ch))  # warm-up: compile + first run
+        int(f2(img2ch))
+
+        def once(f):
             t0 = time.perf_counter()
-            int(many(img2ch))
-            best = min(best, time.perf_counter() - t0)
-        return best / iters
+            int(f(img2ch))
+            return time.perf_counter() - t0
+
+        t1 = min(once(f1) for _ in range(2))
+        t2 = min(once(f2) for _ in range(2))
+        return max(t2 - t1, 1e-9) / (k2 - k1)

@@ -173,6 +173,23 @@ def soft_edt_sq(heights: jnp.ndarray, band: int, temperature: float) -> jnp.ndar
     return band_softmin(s1, band, temperature, axis=-2)
 
 
+def _warn_large_band(band: int) -> None:
+    """Large-spread soft calls (band > the fused kernels' halo-block
+    geometry, reference accepts any -s: openmp/sdfgen.c:174-180) fall back
+    to the composed scan cores — same math, several times slower at 4K.
+    Say so loudly on TPU instead of a silent path change."""
+    from chaq_sdfgen_tpu.ops import pallas_soft_fused
+
+    limit = pallas_soft_fused._TM - 16
+    if band > limit and jax.default_backend() in ("tpu", "axon"):
+        log.warning(
+            "soft_sdf_field: band %d exceeds the fused-kernel geometry "
+            "(max %d); using the composed scan path (same math, slower). "
+            "Reduce spread or split the field if throughput matters.",
+            band, limit,
+        )
+
+
 def soft_sdf_field(
     gray: jnp.ndarray,
     spread: int,
@@ -181,14 +198,23 @@ def soft_sdf_field(
     eps: float = 1e-6,
     test_above: bool = True,
     band: int | None = None,
+    gray_range: tuple | None = None,
 ) -> jnp.ndarray:
     """Signed soft distance field (float32) from raw gray values (..., H, W).
 
     Converges to the hard EXACT pipeline's pre-remap signed values as
     (tau, temperature) -> 0.
+
+    ``gray_range``: optional DECLARED (lo, hi) bound on the input values
+    (the CLI/atlas u8 path passes (0, 255)). A declared bound lets pass 1
+    run as an MXU matmul (ops/soft_mxu.py) — the caller guarantees the
+    bound; mild overshoot (e.g. SGD pixel updates) degrades gracefully,
+    but unbounded trained images must pass None to keep the adaptive
+    kernels.
     """
     band = band if band is not None else spread + 2
     big = big_sentinel(band)
+    _warn_large_band(band)
     # fused-pipeline dispatch — the default TPU path (4-kernel fwd+bwd,
     # measured 17.9 ms vs 24.3 ms composed at 4K fwd+bwd); opt out with
     # CHAQ_SOFT_FUSED=0 to force the composed kernels
@@ -196,6 +222,29 @@ def soft_sdf_field(
         from chaq_sdfgen_tpu.ops import pallas_soft_fused
 
         g2d = gray if gray.ndim == 2 else gray.reshape(-1, *gray.shape[-2:])[0]
+        # MXU pass-1 dispatch: declared-range inputs with static params
+        # run pass 1 as an einsum against the constant band matrix
+        # (ops/soft_mxu.py — measured 1.6 ms vs the F1 kernel's 3.2 ms at
+        # 4K); opt out with CHAQ_SOFT_MXU=0
+        if os.environ.get("CHAQ_SOFT_MXU", "1") != "0":
+            from chaq_sdfgen_tpu.ops import soft_mxu
+
+            if soft_mxu.mxu_ok(g2d, band, tau, temperature, gray_range):
+                def mfn(g):
+                    return soft_mxu.soft_sdf_field_mxu(
+                        g, band, tau, float(temperature), float(eps),
+                        test_above, gray_range,
+                    )
+                if gray.ndim == 2:
+                    log.debug("soft_sdf_field: MXU pass-1 pipeline (2-D)")
+                    return mfn(gray)
+                log.debug(
+                    "soft_sdf_field: MXU pass-1 pipeline (vmapped %s)", gray.shape
+                )
+                vmfn = mfn
+                for _ in range(gray.ndim - 2):
+                    vmfn = jax.vmap(vmfn)
+                return vmfn(gray)
         if pallas_soft_fused.fused_ok(g2d, band):
             # traced tau/temperature (annealing schedules) dispatch to the
             # dynamic-params kernels: one compile per band instead of one

@@ -116,3 +116,58 @@ def test_soft_batched_grad():
     g = jax.grad(loss)(jnp.asarray(gray))
     assert np.asarray(g).shape == gray.shape
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_large_spread_composed_fallback_parity():
+    """spread 128 (band 130 > the fused geometry's 112) must still work —
+    the reference accepts any -s (openmp/sdfgen.c:174-180). On a dense
+    random image every distance is tiny, so the extra taps beyond a
+    covering band contribute < e^-27: the spread-128 field must match a
+    spread-14 field to tight tolerance."""
+    rng = np.random.default_rng(31)
+    gray = jnp.asarray(make_gray(rng, 48, 40))
+    big = np.asarray(softsdf.soft_sdf_field(gray, 128, tau=2.0, temperature=1.0))
+    small = np.asarray(softsdf.soft_sdf_field(gray, 14, tau=2.0, temperature=1.0))
+    assert np.isfinite(big).all()
+    np.testing.assert_allclose(big, small, rtol=1e-5, atol=1e-5)
+
+
+def test_large_spread_gradient_vs_finite_difference():
+    rng = np.random.default_rng(32)
+    h, w = 24, 20
+    gray0 = make_gray(rng, h, w)
+    weights = rng.standard_normal((h, w)).astype(np.float32)
+
+    def loss(g):
+        s = softsdf.soft_sdf_field(g, 128, tau=4.0, temperature=1.5)
+        return jnp.vdot(s, jnp.asarray(weights))
+
+    grad = np.asarray(jax.grad(loss)(jnp.asarray(gray0)))
+    assert np.isfinite(grad).all()
+    f = jax.jit(loss)
+    eps = 0.25
+    for _ in range(6):
+        y, x = rng.integers(0, h), rng.integers(0, w)
+        gp = gray0.copy(); gp[y, x] += eps
+        gm = gray0.copy(); gm[y, x] -= eps
+        fd = (float(f(jnp.asarray(gp))) - float(f(jnp.asarray(gm)))) / (2 * eps)
+        assert abs(fd - grad[y, x]) <= 2e-2 + 0.05 * abs(fd), (y, x, fd, grad[y, x])
+
+
+def test_large_band_warns_on_tpu(monkeypatch, caplog):
+    """The composed fallback for band > 112 must be loud on TPU backends
+    (no silent path change), and silent elsewhere."""
+    import logging
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    with caplog.at_level(logging.WARNING, logger="chaq_sdfgen_tpu.ops.softsdf"):
+        softsdf._warn_large_band(130)
+    assert any("exceeds the fused-kernel geometry" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="chaq_sdfgen_tpu.ops.softsdf"):
+        softsdf._warn_large_band(64)
+    assert not caplog.records
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    with caplog.at_level(logging.WARNING, logger="chaq_sdfgen_tpu.ops.softsdf"):
+        softsdf._warn_large_band(130)
+    assert not caplog.records

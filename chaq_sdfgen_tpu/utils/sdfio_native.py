@@ -40,7 +40,7 @@ def _load():
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        for name in ("png", "bmp", "tga", "pnm", "jpg"):
+        for name in ("png", "bmp", "tga", "pnm", "jpg", "psd", "hdr"):
             dec = getattr(lib, f"sdfio_decode_{name}")
             dec.restype = ctypes.c_int
             dec.argtypes = [
@@ -88,6 +88,10 @@ def _sniff(data: bytes) -> Optional[str]:
         return "pnm"
     if data[:3] == b"\xff\xd8\xff":
         return "jpg"
+    if data[:4] == b"8BPS":
+        return "psd"
+    if data[:2] == b"#?":
+        return "hdr"
     # TGA has no magic; accept via uncompressed type bytes
     if len(data) > 18 and data[1] == 0 and data[2] in (2, 3):
         return "tga"

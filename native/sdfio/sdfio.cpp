@@ -16,8 +16,10 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 #include <vector>
 
 #include <zlib.h>
@@ -638,6 +640,191 @@ int sdfio_encode_jpg(const uint8_t* gray, int w, int h, int quality, uint8_t** o
     memcpy(res, o.data(), o.size());
     *out = res;
     *out_len = o.size();
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// PSD decode: composite image of 8-bit grayscale/RGB PSDs, raw or RLE
+// (PackBits) — the slice of the format stb_image reads. 16-bit depth,
+// CMYK/duotone and absent composites return -20 (PIL fallback).
+// ---------------------------------------------------------------------------
+
+int sdfio_decode_psd(const uint8_t* data, size_t len, uint8_t** out, int* w, int* h) {
+    if (len < 26 + 4 || memcmp(data, "8BPS", 4) != 0) return -1;
+    if (((data[4] << 8) | data[5]) != 1) return -20;  // version
+    int channels = (data[12] << 8) | data[13];
+    uint32_t height = rd_be32(data + 14);
+    uint32_t width = rd_be32(data + 18);
+    int depth = (data[22] << 8) | data[23];
+    int mode = (data[24] << 8) | data[25];
+    if (depth != 8) return -20;
+    if (mode != 1 && mode != 3) return -20;  // grayscale / RGB only
+    if (width == 0 || height == 0 || width > 1u << 24 || height > 1u << 24) return -2;
+    if (channels < 1 || channels > 16) return -2;
+    size_t pos = 26;
+    for (int s = 0; s < 3; ++s) {  // color mode data, resources, layers
+        if (pos + 4 > len) return -2;
+        uint32_t n = rd_be32(data + pos);
+        pos += 4 + n;
+        if (pos > len) return -2;
+    }
+    if (pos + 2 > len) return -2;
+    int compression = (data[pos] << 8) | data[pos + 1];
+    pos += 2;
+    size_t npx = (size_t)width * height;
+    int nch = channels > 4 ? 4 : channels;
+    std::vector<uint8_t> plane(npx * nch);
+    if (compression == 0) {
+        if (pos + npx * channels > len) return -2;
+        for (int c = 0; c < nch; ++c)
+            memcpy(plane.data() + (size_t)c * npx, data + pos + (size_t)c * npx, npx);
+    } else if (compression == 1) {
+        // PackBits RLE: u16BE byte count per (channel, row), then streams
+        size_t tab = pos;
+        pos += (size_t)channels * height * 2;
+        if (pos > len) return -2;
+        for (int c = 0; c < channels; ++c) {
+            for (uint32_t y = 0; y < height; ++y) {
+                size_t rowlen = ((size_t)data[tab] << 8) | data[tab + 1];
+                tab += 2;
+                size_t end = pos + rowlen;
+                if (end > len) return -2;
+                if (c < nch) {
+                    uint8_t* dst = plane.data() + (size_t)c * npx + (size_t)y * width;
+                    size_t xo = 0;
+                    while (pos < end && xo < width) {
+                        int8_t n = (int8_t)data[pos++];
+                        if (n >= 0) {
+                            size_t cnt = (size_t)n + 1;
+                            if (pos + cnt > end || xo + cnt > width) return -2;
+                            memcpy(dst + xo, data + pos, cnt);
+                            pos += cnt;
+                            xo += cnt;
+                        } else if (n != -128) {
+                            size_t cnt = (size_t)(1 - n);
+                            if (pos >= end || xo + cnt > width) return -2;
+                            memset(dst + xo, data[pos++], cnt);
+                            xo += cnt;
+                        }
+                    }
+                }
+                pos = end;
+            }
+        }
+    } else {
+        return -20;
+    }
+    uint8_t* res = (uint8_t*)malloc(npx * 2);
+    if (!res) return -3;
+    for (size_t i = 0; i < npx; ++i) {
+        uint8_t g, a = 255;
+        if (mode == 1) {
+            g = plane[i];
+            if (nch >= 2) a = plane[npx + i];
+        } else {
+            uint8_t r = plane[i];
+            uint8_t gg = nch >= 2 ? plane[npx + i] : r;
+            uint8_t b = nch >= 3 ? plane[2 * npx + i] : r;
+            g = stb_luminance(r, gg, b);
+            if (nch >= 4) a = plane[3 * npx + i];
+        }
+        res[i * 2] = g;
+        res[i * 2 + 1] = a;
+    }
+    *out = res;
+    *w = (int)width;
+    *h = (int)height;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Radiance HDR (RGBE) decode with stb's HDR->LDR conversion
+// (pow(x, 1/2.2)*255 + 0.5, scale 1) then stb luminance. Supports the
+// standard "-Y h +X w" orientation, flat and new-style (2,2) RLE
+// scanlines; old-style RLE returns -20.
+// ---------------------------------------------------------------------------
+
+static uint8_t hdr_ldr(float f) {
+    float z = powf(f, 1.0f / 2.2f) * 255.0f + 0.5f;
+    return (uint8_t)(z < 0 ? 0 : (z > 255 ? 255 : z));
+}
+
+int sdfio_decode_hdr(const uint8_t* data, size_t len, uint8_t** out, int* w, int* h) {
+    if (len < 11 || data[0] != '#' || data[1] != '?') return -1;
+    size_t pos = 0;
+    // header lines until the blank line
+    bool fmt_ok = false;
+    while (pos < len) {
+        size_t eol = pos;
+        while (eol < len && data[eol] != '\n') ++eol;
+        if (eol == pos) {
+            ++pos;
+            break;  // blank line: header done
+        }
+        std::string line((const char*)data + pos, eol - pos);
+        if (line.find("FORMAT=32-bit_rle_rgbe") != std::string::npos) fmt_ok = true;
+        pos = eol + 1;
+    }
+    if (!fmt_ok) return -20;
+    // resolution line
+    size_t eol = pos;
+    while (eol < len && data[eol] != '\n') ++eol;
+    std::string res_line((const char*)data + pos, eol - pos);
+    int width = 0, height = 0;
+    if (sscanf(res_line.c_str(), "-Y %d +X %d", &height, &width) != 2) return -20;
+    if (width <= 0 || height <= 0) return -2;
+    pos = eol + 1;
+
+    std::vector<uint8_t> rgbe((size_t)width * height * 4);
+    for (int y = 0; y < height; ++y) {
+        uint8_t* row = rgbe.data() + (size_t)y * width * 4;
+        if (pos + 4 > len) return -2;
+        if (width >= 8 && width < 32768 && data[pos] == 2 && data[pos + 1] == 2 &&
+            ((data[pos + 2] << 8) | data[pos + 3]) == width) {
+            pos += 4;  // new-style RLE: 4 per-component streams
+            for (int c = 0; c < 4; ++c) {
+                int x = 0;
+                while (x < width) {
+                    if (pos >= len) return -2;
+                    int cnt = data[pos++];
+                    if (cnt > 128) {  // run
+                        cnt -= 128;
+                        if (pos >= len || x + cnt > width) return -2;
+                        uint8_t v = data[pos++];
+                        for (int i = 0; i < cnt; ++i) row[(x + i) * 4 + c] = v;
+                        x += cnt;
+                    } else {  // literals
+                        if (cnt == 0 || pos + cnt > len || x + cnt > width) return -2;
+                        for (int i = 0; i < cnt; ++i) row[(x + i) * 4 + c] = data[pos++];
+                        x += cnt;
+                    }
+                }
+            }
+        } else {
+            if (data[pos] == 1 && data[pos + 1] == 1 && data[pos + 2] == 1)
+                return -20;  // old-style RLE: rare, PIL/None fallback
+            if (pos + (size_t)width * 4 > len) return -2;
+            memcpy(row, data + pos, (size_t)width * 4);
+            pos += (size_t)width * 4;
+        }
+    }
+    uint8_t* res = (uint8_t*)malloc((size_t)width * height * 2);
+    if (!res) return -3;
+    for (size_t i = 0; i < (size_t)width * height; ++i) {
+        const uint8_t* p = rgbe.data() + i * 4;
+        uint8_t r8 = 0, g8 = 0, b8 = 0;
+        if (p[3] != 0) {
+            float s = ldexpf(1.0f, (int)p[3] - (128 + 8));
+            r8 = hdr_ldr(p[0] * s);
+            g8 = hdr_ldr(p[1] * s);
+            b8 = hdr_ldr(p[2] * s);
+        }
+        res[i * 2] = stb_luminance(r8, g8, b8);
+        res[i * 2 + 1] = 255;
+    }
+    *out = res;
+    *w = width;
+    *h = height;
     return 0;
 }
 

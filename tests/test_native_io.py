@@ -267,3 +267,130 @@ def test_jpeg_decode_end_to_end_imageio():
     assert out.shape == (24, 40, 2)
     d = np.abs(out[..., 0].astype(int) - _pil_gray(data).astype(int))
     assert d.max() <= 1
+
+
+def _psd_bytes(arr, mode, compression=0, alpha=None):
+    """Hand-rolled PSD writer (composite image only) for decoder tests."""
+    import struct
+
+    h, w = arr.shape[:2]
+    if mode == 1:  # grayscale
+        planes = [arr] if alpha is None else [arr, alpha]
+    else:  # RGB
+        planes = [arr[..., 0], arr[..., 1], arr[..., 2]]
+        if alpha is not None:
+            planes.append(alpha)
+    ch = len(planes)
+    out = b"8BPS" + struct.pack(">H6xHIIHH", 1, ch, h, w, 8, mode)
+    out += struct.pack(">I", 0) * 3  # color mode data, resources, layers
+    if compression == 0:
+        out += struct.pack(">H", 0)
+        for p in planes:
+            out += p.tobytes()
+    else:  # PackBits: emit every row as one literal run per <=128 chunk
+        out += struct.pack(">H", 1)
+        rows, table = [], b""
+        for p in planes:
+            for y in range(h):
+                row = p[y].tobytes()
+                packed = b""
+                for i in range(0, len(row), 128):
+                    chunk = row[i : i + 128]
+                    packed += bytes([len(chunk) - 1]) + chunk
+                rows.append(packed)
+                table += struct.pack(">H", len(packed))
+        out += table + b"".join(rows)
+    return out
+
+
+@pytest.mark.parametrize("compression", [0, 1])
+def test_psd_decode_gray_and_rgb(compression):
+    rng = np.random.default_rng(51)
+    g = (rng.random((21, 33)) * 255).astype(np.uint8)
+    a = (rng.random((21, 33)) * 255).astype(np.uint8)
+    got = sdfio_native.decode_gray_alpha(_psd_bytes(g, 1, compression, alpha=a))
+    assert got is not None
+    np.testing.assert_array_equal(got[..., 0], g)
+    np.testing.assert_array_equal(got[..., 1], a)
+
+    c = (rng.random((14, 19, 3)) * 255).astype(np.uint8)
+    got = sdfio_native.decode_gray_alpha(_psd_bytes(c, 3, compression))
+    assert got is not None
+    r, gg, b = (c[..., i].astype(int) for i in range(3))
+    want = ((r * 77 + gg * 150 + 29 * b) >> 8).astype(np.uint8)
+    np.testing.assert_array_equal(got[..., 0], want)
+    assert (got[..., 1] == 255).all()
+
+
+def test_psd_decode_matches_pil():
+    """Cross-check the RLE path against PIL's PSD reader on the same bytes."""
+    rng = np.random.default_rng(52)
+    c = np.repeat((rng.random((9, 150, 3)) * 255).astype(np.uint8), 2, axis=1)[:, :299]
+    data = _psd_bytes(c, 3, compression=1)
+    got = sdfio_native.decode_gray_alpha(data)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint16)
+    want = ((pil[..., 0] * 77 + pil[..., 1] * 150 + 29 * pil[..., 2]) >> 8).astype(np.uint8)
+    np.testing.assert_array_equal(got[..., 0], want)
+
+
+def _hdr_bytes(rgbe):
+    h, w = rgbe.shape[:2]
+    head = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y {h} +X {w}\n".encode()
+    return head + rgbe.tobytes()
+
+
+def test_hdr_decode_flat():
+    """Flat RGBE scanlines; LDR conversion = stb's pow(f, 1/2.2)*255+0.5."""
+    rng = np.random.default_rng(53)
+    h, w = 6, 7  # w < 8: flat encoding territory
+    rgbe = (rng.random((h, w, 4)) * 255).astype(np.uint8)
+    rgbe[..., 3] = rng.integers(118, 138, (h, w))  # sane exponents
+    got = sdfio_native.decode_gray_alpha(_hdr_bytes(rgbe))
+    assert got is not None and got.shape == (h, w, 2)
+    f = rgbe[..., :3].astype(np.float64) * np.ldexp(
+        1.0, rgbe[..., 3].astype(int) - 136
+    )[..., None]
+    ldr = np.clip(np.power(f, 1 / 2.2) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    want = (
+        (ldr[..., 0].astype(int) * 77 + ldr[..., 1].astype(int) * 150 + 29 * ldr[..., 2].astype(int)) >> 8
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(got[..., 0], want)
+
+
+def test_hdr_decode_new_rle():
+    """New-style (2,2) RLE scanlines with runs and literals."""
+    rng = np.random.default_rng(54)
+    h, w = 4, 64
+    rgbe = (rng.random((h, w, 4)) * 255).astype(np.uint8)
+    rgbe[..., 3] = 128
+    rgbe[1, :, 0] = 37  # a full-row run in the red component
+    payload = b""
+    for y in range(h):
+        payload += bytes([2, 2, w >> 8, w & 255])
+        for c in range(4):
+            comp = rgbe[y, :, c].tobytes()
+            x = 0
+            while x < w:
+                # alternate a short run and literals to hit both branches
+                if x + 4 <= w and comp[x] == comp[x + 1] == comp[x + 2] == comp[x + 3]:
+                    run = 4
+                    while x + run < w and comp[x + run] == comp[x] and run < 127:
+                        run += 1
+                    payload += bytes([128 + run, comp[x]])
+                    x += run
+                else:
+                    n = min(16, w - x)
+                    payload += bytes([n]) + comp[x : x + n]
+                    x += n
+    head = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y {h} +X {w}\n".encode()
+    got = sdfio_native.decode_gray_alpha(head + payload)
+    assert got is not None and got.shape == (h, w, 2)
+    flat = sdfio_native.decode_gray_alpha(_hdr_bytes(rgbe[:, :7]))  # sanity only
+    f = rgbe[..., :3].astype(np.float64) * np.ldexp(
+        1.0, rgbe[..., 3].astype(int) - 136
+    )[..., None]
+    ldr = np.clip(np.power(f, 1 / 2.2) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    want = (
+        (ldr[..., 0].astype(int) * 77 + ldr[..., 1].astype(int) * 150 + 29 * ldr[..., 2].astype(int)) >> 8
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(got[..., 0], want)

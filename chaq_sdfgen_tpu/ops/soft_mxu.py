@@ -18,11 +18,19 @@ overlapping 128-column windows contracted with a constant
 fields at 4K vs 3.2 ms for the F1 kernel; lax.conv does NOT reach the
 MXU for short 1-D windows — scripts/prof_conv_p1.py, prof_conv_p1b.py).
 
-Pass 2 cannot use a global shift (S1 spans [0, band^2] — see NOTES.md),
-so it stays on the tuned F2/B2 Pallas kernels via a custom VJP that
-returns the natural-layout s1cat cotangent; pass-1's backward is then
-plain XLA AD of the einsum (another MXU matmul) — the B1 kernel is not
-needed on this path.
+Pass 2 admits the SAME global shift (round-3 insight): the k=0 tap gives
+S1(q) <= h(q) <= h_max (a soft-min sits below every term), and the
+undershoot is bounded by the Gaussian tap sum (S1 >= -T log(2K+1) >
+-6T), so S1 is range-bounded whenever the input is — "S1 spans
+[0, band^2]" only holds for unbounded trained-image heights. The default
+path (pass2='mm') therefore runs BOTH passes as einsums against the
+constant band matrix, with forward AND backward entirely in XLA (the VJP
+of a matmul against a constant is one matmul); no Pallas kernel, no
+custom VJP, no band-geometry limit. pass2='kernel' keeps the round-2
+formulation (tuned F2/B2 Pallas kernels behind a custom VJP) for
+comparison — measured SLOWER e2e (11.2 vs 9.5 ms adaptive at 4K fwd+bwd)
+because the s1cat layout assembly and cotangent transposes eat the F1
+win.
 
 No reference analogue (the soft path is BASELINE config 4); the pass-2
 kernels and layouts are shared with ops/pallas_soft_fused.py.
@@ -42,13 +50,40 @@ from chaq_sdfgen_tpu.ops.edt import big_sentinel
 
 _BLK = 128
 _CUT = 30.0  # tap-truncation exponent (margin over the kernels' 27)
+# einsum precision: f32 operands decomposed into bf16 passes on the MXU.
+# Default 6-pass (HIGHEST). MEASURED on-chip (1K, band 66): 3-pass HIGH
+# keeps the field within 1.6e-3 absolute but shifts analytic GRADIENTS by
+# up to 16% of scale at sigmoid-knee pixels — the loss curvature there
+# (~100x the gradient) amplifies HIGH's ~2e-4 forward perturbation.
+# CHAQ_SOFT_MXU_PREC=high opts into the faster decomposition when only
+# field values (or FD-level gradient fidelity) matter.
+import os as _os
+_PRECISION = (
+    jax.lax.Precision.HIGH
+    if _os.environ.get("CHAQ_SOFT_MXU_PREC", "highest") == "high"
+    else jax.lax.Precision.HIGHEST
+)
+# Backward precision is decoupled (default 3-pass HIGH): the cotangent
+# matmul's rounding enters the gradient LINEARLY (~1e-4 relative) with no
+# curvature amplification — only forward-value shifts get magnified at
+# the knee. CHAQ_SOFT_MXU_BWD_PREC=highest restores 6-pass backward.
+_BWD_PRECISION = (
+    jax.lax.Precision.HIGHEST
+    if _os.environ.get("CHAQ_SOFT_MXU_BWD_PREC", "high") == "highest"
+    else jax.lax.Precision.HIGH
+)
 # beyond this h_max/T the global shift cannot keep the max term
 # representable in f32 (e^{c/T} <= e^85) — fall back to the fused kernels
 _HMAX_OVER_T_LIMIT = 140.0
 
 
-def _range_stats(band, tau, temperature, gray_range):
-    """(K, shift c) for a declared input range; None when out of gamut."""
+def _range_stats(band, tau, temperature, gray_range, margin=0.0):
+    """(K, shift c) for a declared input range; None when out of gamut.
+
+    ``margin`` widens the value bound (in units of the raw height): pass 2
+    consumes S1, which can dip below 0 by up to T*log(#taps) (the soft-min
+    of nonnegative heights against a Gaussian tap sum), so its tap cutoff
+    needs the extra slack."""
     lo, hi = float(gray_range[0]), float(gray_range[1])
     t = float(temperature)
     labs = max(abs(lo - 127.5), abs(hi - 127.5)) / float(tau)
@@ -56,7 +91,7 @@ def _range_stats(band, tau, temperature, gray_range):
     h_max = t * (max(labs, 0.0) + math.log1p(math.exp(-abs(labs))))
     if h_max / t > _HMAX_OVER_T_LIMIT:
         return None
-    k = min(int(math.ceil(math.sqrt(_CUT * t + h_max))), int(band))
+    k = min(int(math.ceil(math.sqrt(_CUT * t + h_max + margin))), int(band))
     if k > _BLK:
         # the window construction in _softmin_rows_mm slices k columns out
         # of a BLK-wide block; wider taps would mis-slice at trace time
@@ -65,16 +100,28 @@ def _range_stats(band, tau, temperature, gray_range):
     return max(k, 1), c
 
 
+# pass-2 value-bound margin: S1 >= -T log(2K+1) >= -T log 257 > -6T for
+# any K <= _BLK (see _range_stats docstring); 6T keeps every pass-2
+# exponent (c2 - S1)/T <= h_max/T - 54 <= 86 inside f32 range
+_P2_MARGIN_T = 6.0
+
+
 def mxu_ok(gray, band, tau, temperature, gray_range) -> bool:
-    """Gate: 2-D, static params, declared bounded range within gamut, and
-    the pass-2 fused-kernel geometry holds."""
-    if gray_range is None or gray.ndim != 2:
+    """Gate for the default (pass2='mm') MXU path: 2-D, on TPU, static
+    params, declared bounded range within the pass-2 gamut (the stricter
+    of the two passes' bounds). No band-geometry limit — the einsum
+    formulation has no halo-block constraint."""
+    if gray_range is None or gray.ndim != 2 or gray.shape[0] < 1:
         return False
     if not (isinstance(tau, (int, float)) and isinstance(temperature, (int, float))):
         return False
-    if not PF.fused_ok(gray, band):
+    if jax.default_backend() not in ("tpu", "axon"):
         return False
-    return _range_stats(band, tau, temperature, gray_range) is not None
+    t = float(temperature)
+    return (
+        _range_stats(band, tau, temperature, gray_range, margin=_P2_MARGIN_T * t)
+        is not None
+    )
 
 
 def _band_matrix(k, temperature):
@@ -86,9 +133,9 @@ def _band_matrix(k, temperature):
     return jnp.where(jnp.abs(d) <= k, w, jnp.float32(0.0))
 
 
-def _softmin_rows_mm(e, wmat, k, temperature, shift):
-    """soft-min along axis 1 of shifted exp-heights e (rows, wl):
-    c - T log(W (*) e), windows built by block reshape + roll."""
+def _conv_rows_impl(e, wmat, k, precision):
+    """W (*) e along axis 1 (the x stencil): windows built by block
+    reshape + roll, contracted on the MXU."""
     hgt, wid = e.shape
     nb = wid // _BLK
     eb = e.reshape(hgt, nb, _BLK)
@@ -97,28 +144,88 @@ def _softmin_rows_mm(e, wmat, k, temperature, shift):
     right = jnp.roll(eb, -1, axis=1)[:, :, :k]
     right = right.at[:, -1, :].set(jnp.float32(0.0))
     win = jnp.concatenate([left, eb, right], axis=2)  # (hgt, nb, BLK+2K)
-    s = jnp.einsum("hbj,jq->hbq", win, wmat, precision=jax.lax.Precision.HIGHEST)
-    s = s.reshape(hgt, wid)
-    # Fully-dead windows (padded columns beyond the image) sum to exactly
-    # 0. A subnormal floor (1e-38) flushes back to 0 and log(0) = -inf
-    # puts +inf into s1cat; the einsum VJP then turns that into inf*0 NaN
-    # that contaminates live pixels. Double-where with a NORMAL-range
-    # floor: dead windows go straight to the PAD sentinel and the log
-    # never sees a non-positive argument on either pass of AD. Live
-    # windows are safe: the k=0 tap alone contributes
-    # exp((c - h)/T) >= e^-60 ~ 9e-27 >> 1e-30 by the global-shift bound.
+    s = jnp.einsum("hbj,jq->hbq", win, wmat, precision=precision)
+    return s.reshape(hgt, wid)
+
+
+def _conv_cols_impl(e, wmat, k, precision):
+    """W (*) e along axis 0 (the y stencil) — the pass-2 twin, windows on
+    the row-block axis ('bjw,jq->bqw')."""
+    hgt, wid = e.shape
+    nb = hgt // _BLK
+    eb = e.reshape(nb, _BLK, wid)
+    up = jnp.roll(eb, 1, axis=0)[:, _BLK - k :, :]
+    up = up.at[0].set(jnp.float32(0.0))
+    dn = jnp.roll(eb, -1, axis=0)[:, :k, :]
+    dn = dn.at[-1].set(jnp.float32(0.0))
+    win = jnp.concatenate([up, eb, dn], axis=1)  # (nb, BLK+2K, wid)
+    s = jnp.einsum("bjw,jq->bqw", win, wmat, precision=precision)
+    return s.reshape(hgt, wid)
+
+
+# The band kernel is SYMMETRIC (w(k) = w(-k)) and zero-padded, so the
+# adjoint of each conv is the SAME conv: custom VJPs run the forward at
+# _PRECISION and the cotangent pass at _BWD_PRECISION. wmat is a
+# compile-time constant (built from static temperature) — zero cotangent.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_rows(e, wmat, k):
+    return _conv_rows_impl(e, wmat, k, _PRECISION)
+
+
+def _conv_rows_fwd(e, wmat, k):
+    return _conv_rows_impl(e, wmat, k, _PRECISION), wmat
+
+
+def _conv_rows_bwd(k, wmat, ds):
+    return (_conv_rows_impl(ds, wmat, k, _BWD_PRECISION), jnp.zeros_like(wmat))
+
+
+_conv_rows.defvjp(_conv_rows_fwd, _conv_rows_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_cols(e, wmat, k):
+    return _conv_cols_impl(e, wmat, k, _PRECISION)
+
+
+def _conv_cols_fwd(e, wmat, k):
+    return _conv_cols_impl(e, wmat, k, _PRECISION), wmat
+
+
+def _conv_cols_bwd(k, wmat, ds):
+    return (_conv_cols_impl(ds, wmat, k, _BWD_PRECISION), jnp.zeros_like(wmat))
+
+
+_conv_cols.defvjp(_conv_cols_fwd, _conv_cols_bwd)
+
+
+def _safe_neglog(s, temperature, shift, dead_value):
+    """shift - T log(s), with fully-dead windows (s sums to exactly 0 —
+    padded rows/columns beyond the image) routed to ``dead_value``.
+    A subnormal floor (1e-38) would flush back to 0 and log(0) = -inf
+    puts +inf into the output; downstream VJPs then turn that into
+    inf*0 NaN that contaminates live pixels. Double-where with a
+    NORMAL-range floor: the log never sees a non-positive argument on
+    either pass of AD. Live windows are safe: the center tap alone
+    contributes >= e^-60 ~ 9e-27 >> 1e-30 by the global-shift bound."""
     flo = jnp.float32(1e-30)
     live = s > flo
     s_safe = jnp.where(live, s, jnp.float32(1.0))
-    s1 = jnp.float32(shift) - jnp.float32(temperature) * jnp.log(s_safe)
-    return jnp.where(live, s1, jnp.float32(PF._PAD_H))
+    out = jnp.float32(shift) - jnp.float32(temperature) * jnp.log(s_safe)
+    return jnp.where(live, out, jnp.float32(dead_value))
 
 
-def _pass1_s1cat(gray_p, h, w, band, tau, temperature, test_above, k, shift):
-    """gray_p (hp, wl) f32 -> s1cat ((hp/TM+2)*TM, 2*wl) f32 in the exact
-    layout f2_pass expects: natural-layout pass-1 soft-min, in-field
-    columns [0, wl), out-field [wl, 2wl), one TM-row sentinel block above
-    and below, rows >= h and columns >= w at the PAD sentinel."""
+def _softmin_rows_mm(e, wmat, k, temperature, shift):
+    """soft-min along axis 1 of shifted exp-heights e (rows, wl):
+    c - T log(W (*) e)."""
+    return _safe_neglog(_conv_rows(e, wmat, k), temperature, shift, PF._PAD_H)
+
+
+def _pass1_fields(gray_p, h, w, band, tau, temperature, test_above, k, shift):
+    """gray_p (hp, wl) f32 -> (s1_in, s1_out) natural-layout pass-1
+    soft-min fields, rows >= h and columns >= w at the PAD sentinel."""
     hp, wl = gray_p.shape
     t = jnp.float32(temperature)
     big = big_sentinel(band)
@@ -135,11 +242,23 @@ def _pass1_s1cat(gray_p, h, w, band, tau, temperature, test_above, k, shift):
     # Dead columns within K of the image edge still see live taps in
     # their window and would carry finite values; the fused F1 layout
     # (which f2_pass's skip bounds assume) puts the PAD sentinel there.
-    s1_in = jnp.where(live_c, s1_in, jnp.float32(PF._PAD_H))
-    s1_out = jnp.where(live_c, s1_out, jnp.float32(PF._PAD_H))
-    s1 = jnp.concatenate([s1_in, s1_out], axis=1)  # (hp, 2wl)
     live_r = jnp.arange(hp)[:, None] < h
-    s1 = jnp.where(live_r, s1, jnp.float32(PF._PAD_H))
+    live = jnp.logical_and(live_c, live_r)
+    s1_in = jnp.where(live, s1_in, jnp.float32(PF._PAD_H))
+    s1_out = jnp.where(live, s1_out, jnp.float32(PF._PAD_H))
+    return s1_in, s1_out
+
+
+def _pass1_s1cat(gray_p, h, w, band, tau, temperature, test_above, k, shift):
+    """gray_p (hp, wl) f32 -> s1cat ((hp/TM+2)*TM, 2*wl) f32 in the exact
+    layout f2_pass expects: natural-layout pass-1 soft-min, in-field
+    columns [0, wl), out-field [wl, 2wl), one TM-row sentinel block above
+    and below, rows >= h and columns >= w at the PAD sentinel."""
+    hp, wl = gray_p.shape
+    s1_in, s1_out = _pass1_fields(
+        gray_p, h, w, band, tau, temperature, test_above, k, shift
+    )
+    s1 = jnp.concatenate([s1_in, s1_out], axis=1)  # (hp, 2wl)
     pad = jnp.full((PF._TM, 2 * wl), jnp.float32(PF._PAD_H))
     return jnp.concatenate([pad, s1, pad], axis=0)
 
@@ -188,18 +307,26 @@ def soft_sdf_field_mxu(
     test_above=True,
     gray_range=(0.0, 255.0),
     interpret=False,
+    pass2="mm",
 ):
-    """Soft SDF field, MXU pass 1 + fused Pallas pass 2. Same math as
+    """Soft SDF field with MXU matmul passes. Same math as
     ops.softsdf.soft_sdf_field; requires static tau/temperature and a
     declared input range (callers must guarantee gray stays inside it —
     mild overshoot degrades gracefully, see module docstring).
-    Differentiable wrt gray (pass 1 by XLA AD, pass 2 via the B2 kernel).
+
+    pass2='mm' (default): pass 2 is a second einsum against the constant
+    band matrix. This works because the pass-1 bound PROPAGATES: the k=0
+    tap gives S1(q) <= h(q) <= h_max (a soft-min sits below every term),
+    and the undershoot is bounded by the Gaussian tap sum
+    (S1 >= -T log(2K+1) > -6T), so S1 is range-bounded whenever the input
+    is — NOTES.md's "S1 spans [0, band^2]" only holds for unbounded
+    (trained-image) heights. Fully differentiable by XLA AD (a matmul VJP
+    against a constant is one matmul).
+
+    pass2='kernel': the tuned F2/B2 Pallas kernels behind a custom VJP
+    (the round-2 formulation — kept for on-chip comparison; `interpret`
+    only applies here).
     """
-    if not PF.fused_geometry_ok(gray, band):
-        raise ValueError(
-            f"shape {gray.shape} / band {band} outside the fused pass-2 "
-            f"kernel geometry; use the fused/composed path (mxu_ok gates this)"
-        )
     stats = _range_stats(band, tau, temperature, gray_range)
     if stats is None:
         raise ValueError(
@@ -207,16 +334,64 @@ def soft_sdf_field_mxu(
             f"tau={tau}, T={temperature}; use the fused/composed path"
         )
     k, shift = stats
+    tau_f, t_f, eps_f = float(tau), float(temperature), float(eps)
     h, w = gray.shape
-    hp = PF._round_up(max(h, PF._TM), PF._TM)
+    hp = PF._round_up(max(h, _BLK), _BLK)
     wl = PF._round_up(max(w, 128), 128)
     gray_p = jnp.pad(gray.astype(jnp.float32), ((0, hp - h), (0, wl - w)))
-    s1cat = _pass1_s1cat(
-        gray_p, h, w, band, float(tau), float(temperature), test_above, k, shift
+
+    if pass2 == "kernel":
+        if not PF.fused_geometry_ok(gray, band):
+            raise ValueError(
+                f"shape {gray.shape} / band {band} outside the fused pass-2 "
+                f"kernel geometry; use the fused/composed path (mxu_ok gates this)"
+            )
+        s1cat = _pass1_s1cat(
+            gray_p, h, w, band, tau_f, t_f, test_above, k, shift
+        )
+        prm_const = (tau_f, 1.0 / tau_f, t_f, 1.0 / t_f, eps_f)
+        field = _pass2_p(
+            s1cat, PF._params(tau_f, t_f, eps_f), hp, band, interpret, prm_const
+        )
+        return field[:h, :w]
+
+    stats2 = _range_stats(band, tau, temperature, gray_range, margin=_P2_MARGIN_T * t_f)
+    if stats2 is None:
+        raise ValueError(
+            f"input range {gray_range} out of MXU pass-2 gamut for "
+            f"tau={tau}, T={temperature}; use the fused/composed path"
+        )
+    k2, _ = stats2
+    # Collapsed two-conv form: pass 1's log and pass 2's exp CANCEL.
+    # With h_in = -T log sigmoid(l) exactly, e_in = exp((c1 - h_in)/T)
+    # = exp(c1/T + log_sigmoid(l)) — no separate heights pass — and
+    #   d2 = c1 - T log( W2 (*) W1 (*) e ),
+    # i.e. the bounded soft EDT is two cascaded band-matrix convolutions
+    # of the (shifted) occupancy with ONE log at the end. Range: live
+    # terms of the cascade stay in [e^-60, e^(c1/T + 2.6)] with
+    # c1/T <= 80 (the Gaussian tap sums add <= 1.3 per pass in the
+    # exponent), all inside f32.
+    t = jnp.float32(t_f)
+    logits = threshold.soft_logits(gray_p, tau=tau, test_above=test_above)
+    ls_in = jax.nn.log_sigmoid(logits)
+    ls_out = ls_in - logits  # log sigmoid(-l) = log sigmoid(l) - l, exact
+    ct1 = jnp.float32(shift / t_f)
+    live = jnp.logical_and(
+        jnp.arange(wl)[None, :] < w, jnp.arange(hp)[:, None] < h
     )
-    tau_f, t_f, eps_f = float(tau), float(temperature), float(eps)
-    prm_const = (tau_f, 1.0 / tau_f, t_f, 1.0 / t_f, eps_f)
-    field = _pass2_p(
-        s1cat, PF._params(tau_f, t_f, eps_f), hp, band, interpret, prm_const
-    )
+    e_in = jnp.where(live, jnp.exp(ct1 + ls_in), jnp.float32(0.0))
+    e_out = jnp.where(live, jnp.exp(ct1 + ls_out), jnp.float32(0.0))
+    wmat1 = _band_matrix(k, t_f)
+    wmat2 = _band_matrix(k2, t_f)
+    # dead input rows/cols are zero; pass-2 windows over them contribute
+    # nothing, and dead columns never contaminate live ones (pass 2 is
+    # columnwise) — no intermediate masking needed
+    s_in = _conv_cols(_conv_rows(e_in, wmat1, k), wmat2, k2)
+    s_out = _conv_cols(_conv_rows(e_out, wmat1, k), wmat2, k2)
+    d2_in = _safe_neglog(s_in, t_f, shift, PF._PAD_H)
+    d2_out = _safe_neglog(s_out, t_f, shift, PF._PAD_H)
+    e = jnp.float32(eps_f)
+    d_in = jnp.sqrt(jnp.maximum(d2_in, 0) + e)
+    d_out = jnp.sqrt(jnp.maximum(d2_out, 0) + e)
+    field = d_out - jnp.maximum(d_in - jnp.float32(1.0), jnp.float32(0.0))
     return field[:h, :w]

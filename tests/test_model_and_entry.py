@@ -58,6 +58,7 @@ def test_dryrun_multichip(n):
     ge.dryrun_multichip(n)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_after_backend_preinit():
     """The driver may call entry() (initializing a 1-device backend — on
     hardware, the TPU tunnel) before dryrun_multichip in the SAME

@@ -53,6 +53,7 @@ def test_sharded_hard_batched_2d_mesh():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [2, 8])
 def test_sharded_hard_pallas_vs_xla_paths_bitwise(n):
     # the fused-Pallas sharded pipeline (pass 1 local + u8 halo + fused
@@ -78,6 +79,7 @@ def test_sharded_hard_pallas_band_larger_than_shard():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("use_pallas", [False, True])
 def test_sharded_hard_rdma_halo_bitwise(use_pallas):
     # ShardingConfig.halo_impl='rdma': the Pallas remote-DMA ring must be
@@ -102,6 +104,7 @@ def test_sharded_hard_rdma_multihop_bitwise():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_sharded_soft_rdma_halo_and_gradient():
     # soft pipeline on the rdma halo: forward equal to ppermute AND the
     # custom VJP (reverse-ring scatter-add) must match the ppermute grad
@@ -126,6 +129,7 @@ def test_sharded_soft_rdma_halo_and_gradient():
     np.testing.assert_allclose(g_rd, g_pp, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_sharded_soft_rdma_multihop_gradient():
     # band (spread+2=7) > 4-row shards -> 2-hop rdma chains in fwd AND bwd
     rng = np.random.default_rng(24)
@@ -144,6 +148,7 @@ def test_sharded_soft_rdma_multihop_gradient():
     np.testing.assert_allclose(g_rd, g_pp, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_sharded_soft_matches_single_chip():
     rng = np.random.default_rng(2)
     gray = (rng.random((48, 32)) * 255).astype(np.float32)
@@ -157,6 +162,7 @@ def test_sharded_soft_matches_single_chip():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_soft_gradient_flows_across_shards():
     rng = np.random.default_rng(3)
     gray = (rng.random((32, 16)) * 255).astype(np.float32)
@@ -197,6 +203,7 @@ def test_sharded_soft_fused_matches_single_chip_fused():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_soft_fused_gradient_matches_single_chip():
     from chaq_sdfgen_tpu.ops import pallas_soft_fused as PF
 
@@ -250,6 +257,7 @@ def test_sharded_soft_fused_band_larger_than_shard():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("use_fused", [False, True])
 def test_sharded_soft_test_above_invert(use_fused):
     """-n/invert semantics must reach the sharded soft path (both cores)."""
@@ -278,6 +286,7 @@ def test_row_sharding_placement():
     assert x.sharding.spec == P("data", "y", None)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [2, 8])
 def test_sharded_jfa_bitwise_equal(n):
     from chaq_sdfgen_tpu.ops import jfa
@@ -291,6 +300,7 @@ def test_sharded_jfa_bitwise_equal(n):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_sharded_jfa_stride_exceeds_shard():
     # 8 shards of 8 rows, strides up to 32 -> multi-hop state halos
     from chaq_sdfgen_tpu.ops import jfa
@@ -300,6 +310,21 @@ def test_sharded_jfa_stride_exceeds_shard():
     b = rng.random((64, 32)) < 0.02
     b[3, 5] = True
     mesh = _mesh1d(8)
+    got = np.asarray(sharded_jfa_distance(jnp.asarray(b), mesh))
+    want = np.asarray(jfa.jfa_distance(jnp.asarray(b)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_jfa_small_fast():
+    """Fast-profile JFA sharding coverage (the exhaustive bitwise tests
+    above are marked slow): 16x16, 2 shards, strides down from 8."""
+    from chaq_sdfgen_tpu.ops import jfa
+    from chaq_sdfgen_tpu.parallel.sharded import sharded_jfa_distance
+
+    rng = np.random.default_rng(77)
+    b = rng.random((16, 16)) < 0.2
+    b[0, 3] = True
+    mesh = _mesh1d(2)
     got = np.asarray(sharded_jfa_distance(jnp.asarray(b), mesh))
     want = np.asarray(jfa.jfa_distance(jnp.asarray(b)))
     np.testing.assert_array_equal(got, want)

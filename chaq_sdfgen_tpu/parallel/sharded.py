@@ -206,6 +206,51 @@ def sharded_jfa_distance(
     return jax.shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)(seeds)
 
 
+def _local_soft_mm(gray_blk, band, tau, temperature, eps, test_above,
+                   gray_range, y_axis, halo_fn, w_real):
+    """Shard-local collapsed two-einsum soft field (ops/soft_mxu.py's
+    pass2='mm' split for the sharded tier): conv_rows is row-local, the
+    pass-2 stencil needs only K2 (~10) rows of the pass-1 SUM per
+    direction — the smallest halo of any soft split (zero fill = the
+    dead-window sentinel on image edges)."""
+    from chaq_sdfgen_tpu.ops import soft_mxu as SM
+
+    t_f = float(temperature)
+    k1, shift = SM._range_stats(band, tau, temperature, gray_range)
+    k2, _ = SM._range_stats(
+        band, tau, temperature, gray_range, margin=SM._P2_MARGIN_T * t_f
+    )
+    h, w = gray_blk.shape
+    wl = -(-max(w, SM._BLK) // SM._BLK) * SM._BLK
+    gray_p = jnp.pad(gray_blk.astype(jnp.float32), ((0, 0), (0, wl - w)))
+    logits = threshold.soft_logits(gray_p, tau=tau, test_above=test_above)
+    ls_in = jax.nn.log_sigmoid(logits)
+    ls_out = ls_in - logits
+    ct1 = jnp.float32(shift / t_f)
+    live_c = jnp.arange(wl)[None, :] < w
+    e_in = jnp.where(live_c, jnp.exp(ct1 + ls_in), jnp.float32(0.0))
+    e_out = jnp.where(live_c, jnp.exp(ct1 + ls_out), jnp.float32(0.0))
+    w1 = SM._band_matrix(k1, t_f)
+    w2 = SM._band_matrix(k2, t_f)
+
+    def field(ev):
+        s1 = SM._conv_rows(ev, w1, k1)  # rows never cross shards
+        s1x = halo_fn(s1, k2, y_axis, 0.0)  # (h + 2*k2, wl)
+        hx = s1x.shape[0]
+        hp2 = -(-hx // SM._BLK) * SM._BLK
+        s1p = jnp.pad(s1x, ((0, hp2 - hx), (0, 0)))
+        s2 = SM._conv_cols(s1p, w2, k2)[k2 : k2 + h]
+        return SM._safe_neglog(s2, t_f, shift, 1e30)
+
+    d2_in = field(e_in)
+    d2_out = field(e_out)
+    e = jnp.float32(eps)
+    d_in = jnp.sqrt(jnp.maximum(d2_in, 0) + e)
+    d_out = jnp.sqrt(jnp.maximum(d2_out, 0) + e)
+    out = d_out - jnp.maximum(d_in - jnp.float32(1.0), jnp.float32(0.0))
+    return out[:, :w_real]
+
+
 def sharded_soft_sdf_field(
     gray: jnp.ndarray,
     spread: int,
@@ -220,6 +265,8 @@ def sharded_soft_sdf_field(
     halo: str = "ppermute",
     interpret: Optional[bool] = None,
     use_fused: Optional[bool] = None,
+    gray_range: Optional[tuple] = None,
+    use_mm: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Sharded differentiable soft SDF (parallel analogue of
     ops.softsdf.soft_sdf_field). Pass 1 local; pass 2 halo'd; fully
@@ -229,7 +276,12 @@ def sharded_soft_sdf_field(
     use_fused=None auto-selects the fused Pallas kernel split
     (pallas_soft_fused.pass1_s1 / pass2_ext — the kernels behind the
     single-chip headline) when static params and the per-shard geometry
-    admit them; False forces the portable composed scan cores."""
+    admit them; False forces the portable composed scan cores.
+
+    gray_range: declared (lo, hi) input bound (see ops.softsdf). When
+    in-gamut (use_mm=None auto, on TPU), the shard-local pipeline is the
+    collapsed two-einsum cascade with a K2-row pass-1-sum halo — the
+    smallest communication volume of any soft split."""
     band = band if band is not None else spread + 2
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -242,6 +294,29 @@ def sharded_soft_sdf_field(
 
     n_y = dict(zip(mesh.axis_names, mesh.devices.shape))[y_axis]
     h_local = gray.shape[-2] // n_y
+
+    if use_mm is None:
+        from chaq_sdfgen_tpu.ops import soft_mxu as SM
+
+        g2d = gray if gray.ndim == 2 else gray.reshape(-1, *gray.shape[-2:])[0]
+        use_mm = SM.mxu_ok(g2d, band, tau, temperature, gray_range)
+    if use_mm:
+        w_real = gray.shape[-1]
+
+        def local_mm(gray_blk):
+            return _local_soft_mm(
+                gray_blk, band, tau, temperature, eps, test_above,
+                gray_range, y_axis, halo_fn, w_real,
+            )
+
+        fn_mm = local_mm
+        if batch_axis is not None:
+            fn_mm = lambda blk: jax.vmap(local_mm)(blk)
+        mapped = jax.shard_map(
+            fn_mm, mesh=mesh, in_specs=(spec,), out_specs=spec,
+            check_vma=halo != "rdma",
+        )
+        return mapped(gray)
     if use_fused is None:
         from chaq_sdfgen_tpu.ops import pallas_soft_fused as PF
 

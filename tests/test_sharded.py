@@ -328,3 +328,53 @@ def test_sharded_jfa_small_fast():
     got = np.asarray(sharded_jfa_distance(jnp.asarray(b), mesh))
     want = np.asarray(jfa.jfa_distance(jnp.asarray(b)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_soft_mm_matches_single_chip_mm():
+    """The collapsed two-einsum sharded split (K2-row pass-1-sum halo)
+    must match the single-chip mm path (same math, CPU precision)."""
+    from chaq_sdfgen_tpu.ops import soft_mxu
+
+    rng = np.random.default_rng(81)
+    gray = (rng.random((64, 40)) * 255).astype(np.float32)
+    spread, band = 6, 8
+    mesh = _mesh1d(4)
+    got = np.asarray(
+        sharded_soft_sdf_field(
+            jnp.asarray(gray), spread, mesh, tau=2.0, temperature=1.0,
+            gray_range=(0.0, 255.0), use_mm=True, interpret=True,
+        )
+    )
+    want = np.asarray(
+        soft_mxu.soft_sdf_field_mxu(jnp.asarray(gray), band, 2.0, 1.0, 1e-6, pass2="mm")
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_soft_mm_gradient_matches_single_chip():
+    from chaq_sdfgen_tpu.ops import soft_mxu
+
+    rng = np.random.default_rng(82)
+    gray = (rng.random((32, 24)) * 255).astype(np.float32)
+    spread, band = 5, 7
+    mesh = _mesh1d(4)
+    w = jnp.asarray(rng.standard_normal((32, 24)).astype(np.float32))
+
+    def loss_sharded(g):
+        return jnp.vdot(
+            sharded_soft_sdf_field(
+                g, spread, mesh, tau=2.0, temperature=1.0,
+                gray_range=(0.0, 255.0), use_mm=True, interpret=True,
+            ),
+            w,
+        )
+
+    def loss_single(g):
+        return jnp.vdot(
+            soft_mxu.soft_sdf_field_mxu(g, band, 2.0, 1.0, 1e-6, pass2="mm"), w
+        )
+
+    g1 = np.asarray(jax.grad(loss_sharded)(jnp.asarray(gray)))
+    g2 = np.asarray(jax.grad(loss_single)(jnp.asarray(gray)))
+    assert np.abs(g2).max() > 0
+    np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)

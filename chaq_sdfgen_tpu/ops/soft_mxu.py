@@ -63,15 +63,6 @@ _PRECISION = (
     if _os.environ.get("CHAQ_SOFT_MXU_PREC", "highest") == "high"
     else jax.lax.Precision.HIGHEST
 )
-# Backward precision is decoupled (default 3-pass HIGH): the cotangent
-# matmul's rounding enters the gradient LINEARLY (~1e-4 relative) with no
-# curvature amplification — only forward-value shifts get magnified at
-# the knee. CHAQ_SOFT_MXU_BWD_PREC=highest restores 6-pass backward.
-_BWD_PRECISION = (
-    jax.lax.Precision.HIGHEST
-    if _os.environ.get("CHAQ_SOFT_MXU_BWD_PREC", "high") == "highest"
-    else jax.lax.Precision.HIGH
-)
 # beyond this h_max/T the global shift cannot keep the max term
 # representable in f32 (e^{c/T} <= e^85) — fall back to the fused kernels
 _HMAX_OVER_T_LIMIT = 140.0
@@ -133,9 +124,13 @@ def _band_matrix(k, temperature):
     return jnp.where(jnp.abs(d) <= k, w, jnp.float32(0.0))
 
 
-def _conv_rows_impl(e, wmat, k, precision):
+def _conv_rows(e, wmat, k):
     """W (*) e along axis 1 (the x stencil): windows built by block
-    reshape + roll, contracted on the MXU."""
+    reshape + roll, contracted on the MXU. Differentiated by plain XLA
+    AD — a custom VJP with a decoupled backward precision was MEASURED
+    SLOWER (10.05 vs 8.58 ms e2e at 4K): the custom_vjp boundary blocks
+    XLA from fusing the window build/unbuild across fwd/bwd, costing
+    ~1.5 ms, while 3-pass backward matmuls save only ~0.3 ms."""
     hgt, wid = e.shape
     nb = wid // _BLK
     eb = e.reshape(hgt, nb, _BLK)
@@ -144,11 +139,11 @@ def _conv_rows_impl(e, wmat, k, precision):
     right = jnp.roll(eb, -1, axis=1)[:, :, :k]
     right = right.at[:, -1, :].set(jnp.float32(0.0))
     win = jnp.concatenate([left, eb, right], axis=2)  # (hgt, nb, BLK+2K)
-    s = jnp.einsum("hbj,jq->hbq", win, wmat, precision=precision)
+    s = jnp.einsum("hbj,jq->hbq", win, wmat, precision=_PRECISION)
     return s.reshape(hgt, wid)
 
 
-def _conv_cols_impl(e, wmat, k, precision):
+def _conv_cols(e, wmat, k):
     """W (*) e along axis 0 (the y stencil) — the pass-2 twin, windows on
     the row-block axis ('bjw,jq->bqw')."""
     hgt, wid = e.shape
@@ -159,46 +154,8 @@ def _conv_cols_impl(e, wmat, k, precision):
     dn = jnp.roll(eb, -1, axis=0)[:, :k, :]
     dn = dn.at[-1].set(jnp.float32(0.0))
     win = jnp.concatenate([up, eb, dn], axis=1)  # (nb, BLK+2K, wid)
-    s = jnp.einsum("bjw,jq->bqw", win, wmat, precision=precision)
+    s = jnp.einsum("bjw,jq->bqw", win, wmat, precision=_PRECISION)
     return s.reshape(hgt, wid)
-
-
-# The band kernel is SYMMETRIC (w(k) = w(-k)) and zero-padded, so the
-# adjoint of each conv is the SAME conv: custom VJPs run the forward at
-# _PRECISION and the cotangent pass at _BWD_PRECISION. wmat is a
-# compile-time constant (built from static temperature) — zero cotangent.
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _conv_rows(e, wmat, k):
-    return _conv_rows_impl(e, wmat, k, _PRECISION)
-
-
-def _conv_rows_fwd(e, wmat, k):
-    return _conv_rows_impl(e, wmat, k, _PRECISION), wmat
-
-
-def _conv_rows_bwd(k, wmat, ds):
-    return (_conv_rows_impl(ds, wmat, k, _BWD_PRECISION), jnp.zeros_like(wmat))
-
-
-_conv_rows.defvjp(_conv_rows_fwd, _conv_rows_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _conv_cols(e, wmat, k):
-    return _conv_cols_impl(e, wmat, k, _PRECISION)
-
-
-def _conv_cols_fwd(e, wmat, k):
-    return _conv_cols_impl(e, wmat, k, _PRECISION), wmat
-
-
-def _conv_cols_bwd(k, wmat, ds):
-    return (_conv_cols_impl(ds, wmat, k, _BWD_PRECISION), jnp.zeros_like(wmat))
-
-
-_conv_cols.defvjp(_conv_cols_fwd, _conv_cols_bwd)
 
 
 def _safe_neglog(s, temperature, shift, dead_value):

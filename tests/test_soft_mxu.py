@@ -167,22 +167,3 @@ def test_mxu_gate(monkeypatch):
     k, c = soft_mxu._range_stats(10, 2.0, 1.0, (0.0, 255.0))
     assert 1 <= k <= 10 and c >= 0.0
 
-
-def test_conv_custom_vjp_matches_plain_ad():
-    """The convs' custom VJPs (mixed-precision backward) rely on the band
-    kernel's symmetry: adjoint(conv) == conv. On CPU precision is moot, so
-    the custom-VJP gradient must equal plain XLA AD of the impl exactly."""
-    rng = np.random.default_rng(19)
-    e = jnp.asarray(rng.random((256, 256)).astype(np.float32))
-    ct = jnp.asarray(rng.standard_normal((256, 256)).astype(np.float32))
-    k = 9
-    w = soft_mxu._band_matrix(k, 1.0)
-    for conv, impl in (
-        (soft_mxu._conv_rows, soft_mxu._conv_rows_impl),
-        (soft_mxu._conv_cols, soft_mxu._conv_cols_impl),
-    ):
-        g1 = jax.grad(lambda x: jnp.vdot(conv(x, w, k), ct))(e)
-        g2 = jax.grad(
-            lambda x: jnp.vdot(impl(x, w, k, jax.lax.Precision.HIGHEST), ct)
-        )(e)
-        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6, atol=1e-6)

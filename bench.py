@@ -96,8 +96,15 @@ def main():
     # --- soft forward+backward ---
     gray = jnp.asarray((rng.random((N, N)) * 255).astype(np.float32))
 
+    # declared u8 range -> MXU pass-1 dispatch (ops/soft_mxu.py); the
+    # SGD update drifts pixels ~1e-6 outside [0,255], within the path's
+    # documented graceful-overshoot margin
     def loss(g):
-        return jnp.sum(softsdf.soft_sdf_field(g, spread, tau=2.0, temperature=1.0))
+        return jnp.sum(
+            softsdf.soft_sdf_field(
+                g, spread, tau=2.0, temperature=1.0, gray_range=(0.0, 255.0)
+            )
+        )
 
     def soft_loop(k):
         def outer(g0):
@@ -116,6 +123,28 @@ def main():
     err(f"soft 4K fwd+bwd: {dt_soft*1e3:.2f} ms/iter -> {soft_pps/1e9:.3f} Gpix/s")
 
     extras = {}
+
+    # --- adaptive-kernel soft path (no declared range — the trained-image
+    #     regime keeps the value-adaptive F1/B1 kernels) ---
+    try:
+        def loss_ad(g):
+            return jnp.sum(softsdf.soft_sdf_field(g, spread, tau=2.0, temperature=1.0))
+
+        def soft_ad_loop(k):
+            def outer(g0):
+                def body(i, carry):
+                    g, acc = carry
+                    v, gr = jax.value_and_grad(loss_ad)(g)
+                    return (g - jnp.float32(1e-6) * gr, acc + v)
+                _, acc = jax.lax.fori_loop(0, k, body, (g0, jnp.float32(0)))
+                return acc
+            return outer
+
+        dt = _slope_ms(soft_ad_loop, gray, reps=3) / 1e3
+        extras["soft_adaptive_fwd_bwd_pixels_per_s"] = round(N * N / dt, 1)
+        err(f"soft adaptive 4K fwd+bwd: {dt*1e3:.2f} ms/iter -> {N*N/dt/1e9:.3f} Gpix/s")
+    except Exception as e:
+        err("adaptive soft bench failed:", repr(e))
 
     # --- BRUTE (OpenCL-parity) 4K fwd, spread 64, fused Pallas kernel ---
     try:
@@ -218,6 +247,82 @@ def main():
     except Exception as e:
         err("sharded bench failed:", repr(e))
 
+    # --- sharded soft (1-dev mesh): the fused-kernel split the flagship
+    #     mesh train step runs (pass1_s1 local + s1 halo + pass2_ext) ---
+    try:
+        from chaq_sdfgen_tpu.parallel.sharded import sharded_soft_sdf_field
+
+        def shard_soft_loop(k):
+            def outer(g0):
+                def body(i, carry):
+                    g, acc = carry
+                    v, gr = jax.value_and_grad(
+                        lambda x: jnp.sum(
+                            sharded_soft_sdf_field(
+                                x, spread, mesh, tau=2.0, temperature=1.0,
+                                use_fused=True, interpret=False,
+                            )
+                        )
+                    )(g)
+                    return (g - jnp.float32(1e-6) * gr, acc + v)
+                _, acc = jax.lax.fori_loop(0, k, body, (g0, jnp.float32(0)))
+                return acc
+            return outer
+
+        dt = _slope_ms(shard_soft_loop, gray, reps=3) / 1e3
+        extras["sharded_1dev_soft_fwd_bwd_pixels_per_s"] = round(N * N / dt, 1)
+        if "soft_adaptive_fwd_bwd_pixels_per_s" in extras:
+            dt_ad = N * N / extras["soft_adaptive_fwd_bwd_pixels_per_s"]
+            extras["sharded_1dev_soft_overhead_vs_adaptive"] = round(dt / dt_ad - 1.0, 4)
+        err(f"sharded(1-dev) soft 4K fwd+bwd: {dt*1e3:.2f} ms/iter -> {N*N/dt/1e9:.3f} Gpix/s")
+    except Exception as e:
+        err("sharded soft bench failed:", repr(e))
+
+    # --- sharded soft via the collapsed-mm split (declared u8 range —
+    #     the production atlas path; K2-row pass-1-sum halo) ---
+    try:
+        def shard_soft_mm_loop(k):
+            def outer(g0):
+                def body(i, carry):
+                    g, acc = carry
+                    v, gr = jax.value_and_grad(
+                        lambda x: jnp.sum(
+                            sharded_soft_sdf_field(
+                                x, spread, mesh, tau=2.0, temperature=1.0,
+                                gray_range=(0.0, 255.0), use_mm=True,
+                                interpret=False,
+                            )
+                        )
+                    )(g)
+                    return (g - jnp.float32(1e-6) * gr, acc + v)
+                _, acc = jax.lax.fori_loop(0, k, body, (g0, jnp.float32(0)))
+                return acc
+            return outer
+
+        dt = _slope_ms(shard_soft_mm_loop, gray, reps=3) / 1e3
+        extras["sharded_1dev_soft_mm_pixels_per_s"] = round(N * N / dt, 1)
+        err(f"sharded(1-dev) soft-mm 4K fwd+bwd: {dt*1e3:.2f} ms/iter -> {N*N/dt/1e9:.3f} Gpix/s")
+    except Exception as e:
+        err("sharded soft-mm bench failed:", repr(e))
+
+    # --- sharded JFA (1-dev mesh): per-stride fetch_row_slab exchanges ---
+    try:
+        from chaq_sdfgen_tpu.parallel.sharded import sharded_jfa_distance
+
+        def shard_jfa_loop(k):
+            def outer(x):
+                def body(i, acc):
+                    d = sharded_jfa_distance(jnp.logical_xor(x, i % 2 == 1), mesh)
+                    return acc + jnp.sum(d)
+                return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+            return outer
+
+        dt = _slope_ms(shard_jfa_loop, b4k, reps=3) / 1e3
+        extras["sharded_1dev_jfa_pixels_per_s"] = round(N * N / dt, 1)
+        err(f"sharded(1-dev) jfa 4K fwd: {dt*1e3:.2f} ms/iter -> {N*N/dt/1e9:.3f} Gpix/s")
+    except Exception as e:
+        err("sharded jfa bench failed:", repr(e))
+
     # --- batched soft fwd+bwd (atlas-shaped training step, Pallas path
     #     via vmap — BASELINE configs 4/5 hybrid): 8 x 1K x 1K ---
     try:
@@ -229,7 +334,10 @@ def main():
                     g, acc = carry
                     v, gr = jax.value_and_grad(
                         lambda x: jnp.sum(
-                            softsdf.soft_sdf_field(x, spread, tau=2.0, temperature=1.0)
+                            softsdf.soft_sdf_field(
+                                x, spread, tau=2.0, temperature=1.0,
+                                gray_range=(0.0, 255.0),
+                            )
                         )
                     )(g)
                     return (g - jnp.float32(1e-6) * gr, acc + v)

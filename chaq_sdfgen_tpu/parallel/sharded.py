@@ -187,10 +187,12 @@ def sharded_jfa_distance(
                 p,
                 fetch_row_slab(p, -k, y_axis, -1),
             )
-            for cps in slabs:
+            for si, cps in enumerate(slabs):
                 for dx in (-k, 0, k):
                     if dx != 0:
                         cp = jfa_ops._shift2d(cps, 0, dx, none)
+                    elif si == 1:
+                        continue  # (0, 0) is the pixel itself (as single-chip)
                     else:
                         cp = cps
                     csy = cp >> xbits

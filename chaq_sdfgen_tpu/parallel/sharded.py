@@ -171,30 +171,82 @@ def sharded_jfa_distance(
         p = jnp.where(seeds_blk, (yy << xbits) | xx, none)
 
         d2 = jnp.where(seeds_blk, jnp.int32(0), invalid)
+        n_sh = jax.lax.axis_size(y_axis)
+        row = jax.lax.broadcasted_iota(jnp.int32, seeds_blk.shape, 0)
+
+        def perm_rows(rows_arr, j, sgn):
+            """receive ``rows_arr`` from shard i - sgn*j; zero-delivery at
+            edge shards maps to the -1 marker via the +-1 trick."""
+            if j == 0 or n_sh == 1:
+                return (
+                    rows_arr
+                    if j == 0
+                    else jnp.full_like(rows_arr, jnp.int32(-1))
+                )
+            if sgn > 0:
+                pairs = [(s, s + j) for s in range(n_sh - j)]
+            else:
+                pairs = [(s + j, s) for s in range(n_sh - j)]
+            return jax.lax.ppermute(rows_arr + 1, y_axis, pairs) - 1
+
+        def dy_candidate(sp, k, sgn):
+            """Returns cp(dx) for the dy = -sgn*k tap (out[y] = p_glob at
+            global row y - sgn*k) of the stride-start state ``sp``, built
+            so every dx-variant stays a FUSED expression: the local part
+            is a pad+slice of sp, the remote part is the (small) received
+            row band behind a lazily-padded where — no shared
+            materialized slab (measured 2.4x on the whole JFA when slabs
+            materialize: single-chip fuses all eight candidate reads into
+            the update chain)."""
+            q, r = divmod(k, h_local)
+            if k >= n_sh * h_local:
+                return lambda dx: jnp.full_like(sp, none)
+            if r == 0 or q >= 1:
+                # the slab is (mostly) remote: one materialized exchange,
+                # dx-shifts read it fused (only the 3 largest strides)
+                slab = fetch_row_slab(sp, sgn * k, y_axis, -1)
+                return lambda dx: jfa_ops._shift2d(slab, 0, dx, none)
+            # q == 0: local pad+slice + a k-row band from the neighbour
+            if sgn > 0:
+                rec = perm_rows(
+                    jax.lax.slice_in_dim(sp, h_local - r, h_local, axis=0), 1, 1
+                )
+                recp = jnp.pad(rec, ((0, h_local - r), (0, 0)), constant_values=none)
+                cond = row < jnp.int32(r)
+            else:
+                rec = perm_rows(jax.lax.slice_in_dim(sp, 0, r, axis=0), 1, -1)
+                recp = jnp.pad(rec, ((h_local - r, 0), (0, 0)), constant_values=none)
+                cond = row >= jnp.int32(h_local - r)
+
+            def cp(dx, sp=sp, recp=recp, cond=cond, dyl=-sgn * r):
+                loc = jfa_ops._shift2d(sp, dyl, dx, none)
+                rem = jfa_ops._shift2d(recp, 0, dx, none) if dx != 0 else recp
+                return jnp.where(cond, rem, loc)
+
+            return cp
+
         for k in strides:
+            # all eight candidates read the stride-START state (textbook
+            # synchronous JFA — bitwise equal to single-chip)
+            sp = p
             # rebuild the running best distance from the packed state
             # (exact invariant d2 == dist(p), see ops/jfa.py) — only p
             # crosses passes/halos, halving the carried state
-            sy0 = p >> xbits
-            sx0 = p & mask
-            d2 = jnp.where(p >= 0, (yy - sy0) ** 2 + (xx - sx0) ** 2, invalid)
-            # the dy = ±k taps read exactly the H_local-row slab at global
-            # offset ±k — fetch_row_slab ships only that slab (<= H_local
-            # rows/side, clamped at edge shards), not a contiguous k-row
-            # halo (whole blocks per hop at large strides)
-            slabs = (
-                fetch_row_slab(p, k, y_axis, -1),
-                p,
-                fetch_row_slab(p, -k, y_axis, -1),
-            )
-            for si, cps in enumerate(slabs):
+            sy0 = sp >> xbits
+            sx0 = sp & mask
+            d2 = jnp.where(sp >= 0, (yy - sy0) ** 2 + (xx - sx0) ** 2, invalid)
+            up = dy_candidate(sp, k, 1)
+            dn = dy_candidate(sp, k, -1)
+            cands = [
+                up,
+                lambda dx, sp=sp: jfa_ops._shift2d(sp, 0, dx, none),
+                dn,
+            ]
+            for si, cf in enumerate(cands):
                 for dx in (-k, 0, k):
-                    if dx != 0:
-                        cp = jfa_ops._shift2d(cps, 0, dx, none)
-                    elif si == 1:
+                    if si == 1 and dx == 0:
                         continue  # (0, 0) is the pixel itself (as single-chip)
-                    else:
-                        cp = cps
+                    cp = cf(dx)
                     csy = cp >> xbits
                     csx = cp & mask
                     cd2 = (yy - csy) ** 2 + (xx - csx) ** 2

@@ -346,7 +346,7 @@ def _prm_scalars(prm_ref, prm_const):
 
 def _f1_kernel(
     gray_ref, prm_ref, s1cat_ref, logitsT_ref, s1t_ref, xt_ref, hs_ref, acc_ref, seg_ref, sm_ref,
-    *, band, w, wl, nb, h_real, ph, test_above, prm_const,
+    *, band, w, wl, nb, ph, test_above, prm_const,
 ):
     i = pl.program_id(0)
     f = pl.program_id(1)
@@ -405,9 +405,14 @@ def _f1_kernel(
         # ds1t): rows [0, ph) and [ph+wl, 2ph+wl) read as -huge
         s1t_ref[0:ph, :] = jnp.full((ph, _TM), _NEG_HUGE, jnp.float32)
         s1t_ref[ph + wl : 2 * ph + wl, :] = jnp.full((ph, _TM), _NEG_HUGE, jnp.float32)
-        # lanes are image rows y = (i-1)*TM + lane; pad rows y >= h_real
-        # must leave sentinel S1 (their gray is padding, not pixels)
+        # lanes are image rows y = (i-1)*TM + lane; rows outside the LIVE
+        # window [prm[5], prm[6]) must leave sentinel S1. The window
+        # defaults to [0, h_real) (pad rows carry no pixels); the sharded
+        # tier narrows it per shard (traced, axis_index-dependent) so
+        # beyond-image halo rows of an edge shard read as sentinels too.
         y0 = (i - 1) * jnp.int32(_TM)
+        ylo = prm_ref[5]
+        yhi = prm_ref[6]
         for r in range(0, wl, _CHUNK):
             rc = min(_CHUNK, wl - r)
             s1 = _chunk_softmin(
@@ -417,16 +422,20 @@ def _f1_kernel(
             # must normalize against); the PAD_H lane mask below only
             # belongs to the y-direction pass's input
             s1t_ref[ph + r : ph + r + rc, :] = s1
-            lane_y = jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1) + y0
-            s1 = jnp.where(lane_y < jnp.int32(h_real), s1, jnp.float32(_PAD_H))
+            lane_y = (
+                jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1) + y0
+            ).astype(jnp.float32)
+            live = jnp.logical_and(lane_y >= ylo, lane_y < yhi)
+            s1 = jnp.where(live, s1, jnp.float32(_PAD_H))
             _transpose_into(s1cat_ref, s1, r)
 
 
-def f1_pass(gray_p, prm, w_real, h_real, band, test_above, s1_dtype, interpret, prm_const=None):
+def f1_pass(gray_p, prm, w_real, band, test_above, s1_dtype, interpret, prm_const=None):
     """gray_p: (Hp, WL) f32 padded.  Returns (s1cat ((nb+2)*TM, 2*WL)
     s1_dtype with TM-row sentinel halo blocks top+bottom, logitsT
     (WL, Hp) bf16, s1t_cat (2*(WL+2*ph), (nb+2)*TM) f32 — the exact-f32
-    pass-1 soft-min in transposed layout, memoized for B1)."""
+    pass-1 soft-min in transposed layout, memoized for B1). The live-row
+    window rides in prm[5:7] (see _params)."""
     hp, wl = gray_p.shape
     nb = hp // _TM
     e1 = _round_up(2 * band + wl + 24, 8)
@@ -434,7 +443,7 @@ def f1_pass(gray_p, prm, w_real, h_real, band, test_above, s1_dtype, interpret, 
     ph = _round_up(2 * band + 24, _TN)
     prows = wl + 2 * ph
     kern = functools.partial(
-        _f1_kernel, band=band, w=w_real, wl=wl, nb=nb, h_real=h_real, ph=ph,
+        _f1_kernel, band=band, w=w_real, wl=wl, nb=nb, ph=ph,
         test_above=test_above, prm_const=prm_const,
     )
     s1cat, logitsT, s1t_cat = pl.pallas_call(
@@ -777,21 +786,43 @@ def fused_ok(gray: jnp.ndarray, band: int) -> bool:
     return fused_geometry_ok(gray, band) and jax.default_backend() in ("tpu", "axon")
 
 
-def _params(tau, temperature, eps):
-    """(5,) f32 kernel params [tau, 1/tau, T, 1/T, eps]. For static Python
-    floats the inverses are double-divided then rounded once — exactly the
-    value jnp.float32(1.0 / t) produced when these were compile-time
-    constants, so the static path stays bit-identical. Traced scalars
-    divide in f32 (internally consistent: fwd and bwd read the same
-    SMEM values)."""
-    if isinstance(tau, (int, float)) and isinstance(temperature, (int, float)):
+def _params(tau, temperature, eps, ylo=0.0, yhi=3.0e38):
+    """(7,) f32 kernel params [tau, 1/tau, T, 1/T, eps, ylo, yhi]. For
+    static Python floats the inverses are double-divided then rounded
+    once — exactly the value jnp.float32(1.0 / t) produced when these
+    were compile-time constants, so the static path stays bit-identical.
+    Traced scalars divide in f32 (internally consistent: fwd and bwd read
+    the same SMEM values).
+
+    (ylo, yhi): F1's live-row window in padded-block coordinates — rows
+    outside it emit the PAD sentinel into s1cat. Single-chip callers pass
+    (0, h); the sharded windowed tier passes per-shard traced bounds so
+    beyond-image halo rows of edge shards read as sentinels. Always read
+    from SMEM (never folded), so traced bounds cost nothing extra."""
+    if (
+        isinstance(tau, (int, float))
+        and isinstance(temperature, (int, float))
+        and isinstance(ylo, (int, float))
+        and isinstance(yhi, (int, float))
+    ):
         return jnp.asarray(
-            [tau, 1.0 / tau, temperature, 1.0 / temperature, eps], jnp.float32
+            [tau, 1.0 / tau, temperature, 1.0 / temperature, eps, ylo, yhi],
+            jnp.float32,
         )
     tauf = jnp.asarray(tau, jnp.float32)
     tf = jnp.asarray(temperature, jnp.float32)
     one = jnp.float32(1.0)
-    return jnp.stack([tauf, one / tauf, tf, one / tf, jnp.full((), eps, jnp.float32)])
+    return jnp.stack(
+        [
+            tauf,
+            one / tauf,
+            tf,
+            one / tf,
+            jnp.full((), eps, jnp.float32),
+            jnp.asarray(ylo, jnp.float32),
+            jnp.asarray(yhi, jnp.float32),
+        ]
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -806,7 +837,7 @@ def _fused_fwd(gray, prm, band, test_above, interpret, prm_const):
     wl = _round_up(max(w, 128), 128)
     gray_p = jnp.pad(gray.astype(jnp.float32), ((0, hp - h), (0, wl - w)))
     s1cat, logitsT, s1t_cat = f1_pass(
-        gray_p, prm, w, h, band, test_above, jnp.float32, interpret,
+        gray_p, prm, w, band, test_above, jnp.float32, interpret,
         prm_const=prm_const,
     )
     field, d2cat = f2_pass(s1cat, prm, hp, band, interpret, prm_const=prm_const)
@@ -824,7 +855,7 @@ def _fused_bwd(band, test_above, interpret, prm_const, res, ct):
     # tau/temperature/eps are schedule constants here: their cotangent is
     # reported as zero (differentiate the composed softsdf path if you
     # need parameter gradients)
-    return (dgray[:h, :w], jnp.zeros((5,), jnp.float32))
+    return (dgray[:h, :w], jnp.zeros((7,), jnp.float32))
 
 
 def _fused_fwd_vjp(gray, prm, band, test_above, interpret, prm_const):
@@ -845,7 +876,9 @@ def soft_sdf_field_fused(gray, band, tau, temperature, eps, test_above, interpre
     eps = float(eps)
     prm_const = (tau, 1.0 / tau, temperature, 1.0 / temperature, eps)
     return _fused_field_p(
-        gray, _params(tau, temperature, eps), band, test_above, interpret, prm_const
+        gray,
+        _params(tau, temperature, eps, 0.0, float(gray.shape[0])),
+        band, test_above, interpret, prm_const,
     )
 
 
@@ -877,7 +910,7 @@ def _p1_fwd(gray, prm, band, test_above, interpret, prm_const):
     wl = _round_up(max(w, 128), 128)
     gray_p = jnp.pad(gray.astype(jnp.float32), ((0, hp - h), (0, wl - w)))
     s1cat, logitsT, s1t_cat = f1_pass(
-        gray_p, prm, w, h, band, test_above, jnp.float32, interpret,
+        gray_p, prm, w, band, test_above, jnp.float32, interpret,
         prm_const=prm_const,
     )
     # natural-layout local rows (the TM sentinel blocks and >=h pad rows
@@ -899,7 +932,7 @@ def _p1_bwd(band, test_above, interpret, prm_const, res, ds1):
         logitsT, ds1t, s1t_cat, prm, hp, w, band, ph, test_above, interpret,
         prm_const=prm_const,
     )
-    return (dgray[:h, :w], jnp.zeros((5,), jnp.float32))
+    return (dgray[:h, :w], jnp.zeros((7,), jnp.float32))
 
 
 pass1_s1.defvjp(_p1_fwd, _p1_bwd)
@@ -936,7 +969,7 @@ def _p2e_bwd(bands, interpret, prm_const, res, ct):
     slab = ph + wl + ph
     din = ds1t[ph : ph + wl, :].astype(jnp.float32).T  # (hb, wl)
     dout = ds1t[slab + ph : slab + ph + wl, :].astype(jnp.float32).T
-    return (jnp.concatenate([din, dout], axis=1), jnp.zeros((5,), jnp.float32))
+    return (jnp.concatenate([din, dout], axis=1), jnp.zeros((7,), jnp.float32))
 
 
 pass2_ext.defvjp(_p2e_fwd, _p2e_bwd)
@@ -951,5 +984,7 @@ def soft_sdf_field_fused_dynamic(
     remote-compile tunnel. Gradients flow to `gray` only;
     tau/temperature are treated as schedule constants (zero cotangent)."""
     return _fused_field_p(
-        gray, _params(tau, temperature, eps), band, test_above, interpret, None
+        gray,
+        _params(tau, temperature, eps, 0.0, float(gray.shape[0])),
+        band, test_above, interpret, None,
     )

@@ -249,7 +249,7 @@ def _pass2_bwd(hp, band, interpret, prm_const, res, ct):
     dout = ds1t[slab + ph : slab + ph + wl, :].astype(jnp.float32).T
     dmid = jnp.concatenate([din, dout], axis=1)  # (hp, 2wl)
     z = jnp.zeros((PF._TM, twl), jnp.float32)
-    return jnp.concatenate([z, dmid, z], axis=0), jnp.zeros((5,), jnp.float32)
+    return jnp.concatenate([z, dmid, z], axis=0), jnp.zeros((7,), jnp.float32)
 
 
 _pass2_p.defvjp(_pass2_fwd, _pass2_bwd)

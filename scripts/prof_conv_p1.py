@@ -91,7 +91,7 @@ print(f"conv pass-1 (both fields + logitsT)      {ms:8.3f} ms/iter  (incl. ~0.3 
 ms, *_ = device_ms_per_iter(
     lambda i, g: sum(
         jnp.sum(x[:64])
-        for x in F.f1_pass(g + fi(i), F._params(tau, T, eps), N, N, band, True,
+        for x in F.f1_pass(g + fi(i), F._params(tau, T, eps, 0.0, N), N, band, True,
                            jnp.float32, False)
     ),
     gray,

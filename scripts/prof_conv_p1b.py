@@ -92,7 +92,7 @@ for prec in (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT):
 ms, *_ = device_ms_per_iter(
     lambda i, g: sum(
         jnp.sum(x[:64])
-        for x in F.f1_pass(g + fi(i), F._params(tau, T, eps), N, N, band, True,
+        for x in F.f1_pass(g + fi(i), F._params(tau, T, eps, 0.0, N), N, band, True,
                            jnp.float32, False)
     ),
     gray,

@@ -48,7 +48,7 @@ gray = jnp.asarray((rng.random((N, N)) * 255).astype(np.float32))
 
 # produce realistic intermediates once
 s1cat, logitsT, s1t_cat = jax.jit(
-    lambda g: F.f1_pass(g, F._params(tau, T, eps), N, N, band, True, jnp.float32, False)
+    lambda g: F.f1_pass(g, F._params(tau, T, eps, 0.0, N), N, band, True, jnp.float32, False)
 )(gray)
 s1cat = jax.block_until_ready(s1cat)
 ct = jnp.ones((N, N), jnp.float32)
@@ -62,7 +62,7 @@ print("shapes:", s1cat.shape, logitsT.shape, ds1t.shape, "ph:", ph, flush=True)
 if "f1" in which:
     timeit(
         "F1 (gray->S1cat+logitsT)",
-        loop(lambda i, g: jnp.sum(F.f1_pass(g + i, F._params(tau, T, eps), N, N, band, True, jnp.float32, False)[0].astype(jnp.float32))),
+        loop(lambda i, g: jnp.sum(F.f1_pass(g + i, F._params(tau, T, eps, 0.0, N), N, band, True, jnp.float32, False)[0].astype(jnp.float32))),
         gray,
     )
 if "f2" in which:
@@ -80,7 +80,7 @@ if "b2" in which:
 if "b1" in which:
     timeit(
         "B1 (logitsT,dS1T->dgray)",
-        loop(lambda i, l, d, st: jnp.sum(F.b1_pass(l, d + i.astype(d.dtype), st, F._params(tau, T, eps), N, N, band, ph, True, False))),
+        loop(lambda i, l, d, st: jnp.sum(F.b1_pass(l, d + i.astype(d.dtype), st, F._params(tau, T, eps, 0.0, N), N, band, ph, True, False))),
         logitsT, ds1t, s1t_cat,
     )
 

@@ -33,7 +33,7 @@ def show(name, body, *args):
 gray = jnp.asarray((rng.random((N, N)) * 255).astype(np.float32))
 
 s1cat, logitsT, s1t_cat = jax.jit(
-    lambda g: F.f1_pass(g, F._params(tau, T, eps), N, N, band, True, jnp.float32, False)
+    lambda g: F.f1_pass(g, F._params(tau, T, eps, 0.0, N), N, band, True, jnp.float32, False)
 )(gray)
 s1cat = jax.block_until_ready(s1cat)
 ct = jnp.ones((N, N), jnp.float32)
@@ -48,7 +48,7 @@ fi = lambda i: i.astype(jnp.float32)
 if "f1" in which:
     show("F1 (gray->S1cat+logitsT)",
          lambda i, g: jnp.sum(
-             F.f1_pass(g + fi(i), F._params(tau, T, eps), N, N, band, True, jnp.float32, False)[0][:64]
+             F.f1_pass(g + fi(i), F._params(tau, T, eps, 0.0, N), N, band, True, jnp.float32, False)[0][:64]
              .astype(jnp.float32)),
          gray)
 if "f2" in which:
@@ -64,7 +64,7 @@ if "b2" in which:
 if "b1" in which:
     show("B1 (logitsT,dS1T->dgray)",
          lambda i, l, d, st: jnp.sum(
-             F.b1_pass(l, d + fi(i).astype(d.dtype), st, F._params(tau, T, eps), N, N, band, ph,
+             F.b1_pass(l, d + fi(i).astype(d.dtype), st, F._params(tau, T, eps, 0.0, N), N, band, ph,
                        True, False)[:64]),
          logitsT, ds1t, s1t_cat)
 

@@ -378,3 +378,79 @@ def test_sharded_soft_mm_gradient_matches_single_chip():
     g2 = np.asarray(jax.grad(loss_single)(jnp.asarray(gray)))
     assert np.abs(g2).max() > 0
     np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("fused_impl", ["window", "split"])
+def test_sharded_soft_fused_impls_match_single_chip(fused_impl):
+    """Both fused shardings — the windowed whole-pipeline form (gray halo
+    + traced live-row window) and the pass1/pass2 split (s1 halo) — must
+    match the single-chip fused pipeline, including the edge shards'
+    beyond-image masking."""
+    from chaq_sdfgen_tpu.ops import pallas_soft_fused as PF
+
+    rng = np.random.default_rng(91)
+    gray = (rng.random((64, 40)) * 255).astype(np.float32)
+    spread, band = 6, 8
+    mesh = _mesh1d(2)
+    got = np.asarray(
+        sharded_soft_sdf_field(
+            jnp.asarray(gray), spread, mesh, tau=2.0, temperature=1.0,
+            use_fused=True, fused_impl=fused_impl, interpret=True,
+        )
+    )
+    want = np.asarray(
+        PF.soft_sdf_field_fused(jnp.asarray(gray), band, 2.0, 1.0, 1e-6, True,
+                                interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_soft_fused_window_gradient():
+    from chaq_sdfgen_tpu.ops import pallas_soft_fused as PF
+
+    rng = np.random.default_rng(92)
+    gray = (rng.random((64, 24)) * 255).astype(np.float32)
+    spread, band = 5, 7
+    mesh = _mesh1d(2)
+    w = jnp.asarray(rng.standard_normal((64, 24)).astype(np.float32))
+
+    def loss_sharded(g):
+        return jnp.vdot(
+            sharded_soft_sdf_field(
+                g, spread, mesh, tau=2.0, temperature=1.0,
+                use_fused=True, fused_impl="window", interpret=True,
+            ),
+            w,
+        )
+
+    def loss_single(g):
+        return jnp.vdot(
+            PF.soft_sdf_field_fused(g, band, 2.0, 1.0, 1e-6, True, interpret=True), w
+        )
+
+    g1 = np.asarray(jax.grad(loss_sharded)(jnp.asarray(gray)))
+    g2 = np.asarray(jax.grad(loss_single)(jnp.asarray(gray)))
+    assert np.abs(g2).max() > 0
+    # bf16 ds1t rounding differs between the halo-extended and plain
+    # blocks at a handful of knee pixels (same class as the split test)
+    np.testing.assert_allclose(g1, g2, rtol=2e-2, atol=1e-5)
+
+
+def test_sharded_soft_fused_window_4shards_test_above():
+    from chaq_sdfgen_tpu.ops import pallas_soft_fused as PF
+
+    rng = np.random.default_rng(93)
+    gray = (rng.random((128, 32)) * 255).astype(np.float32)
+    spread, band = 6, 8
+    mesh = _mesh1d(4)
+    got = np.asarray(
+        sharded_soft_sdf_field(
+            jnp.asarray(gray), spread, mesh, tau=2.0, temperature=1.0,
+            test_above=False, use_fused=True, fused_impl="window", interpret=True,
+        )
+    )
+    want = np.asarray(
+        PF.soft_sdf_field_fused(jnp.asarray(gray), band, 2.0, 1.0, 1e-6, False,
+                                interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -124,6 +124,70 @@ def _band_matrix(k, temperature):
     return jnp.where(jnp.abs(d) <= k, w, jnp.float32(0.0))
 
 
+def _corner_matrices(k, temperature):
+    """(Wl, Wm, Wr) 128x128 block-Toeplitz factors of the band matrix.
+
+    The banded conv out[:, 128b+q] = sum_{|d|<=K} w(d) e[:, 128b+q+d]
+    touches at most the two adjacent 128-blocks, so it is exactly three
+    lane-ALIGNED block matmuls: center Wm[j,q] = w(j-q), left-neighbour
+    Wl[j,q] = w(j-q-128) (only the bottom-left KxK corner is nonzero),
+    right-neighbour Wr[j,q] = w(j-q+128) (top-right corner). Unlike the
+    window form (concatenate into (hgt, nb, 128+2K) slabs), nothing wider
+    than the input is ever materialized.
+
+    MEASURED SLOWER than the window form (scripts/prof_conv3.py, 4K,
+    slope-timed): rows 0.88 vs 0.61 ms, cols 0.93 vs 0.67, at BOTH K=10
+    and K=36 — the 3x128-deep contractions (384 MACs/output vs 128+2K)
+    cost more than the window slab's extra HBM traffic saves. Kept as a
+    cross-validated negative result; _conv_rows/_conv_cols stay the
+    production path."""
+    j = jnp.arange(_BLK, dtype=jnp.float32)[:, None]
+    q = jnp.arange(_BLK, dtype=jnp.float32)[None, :]
+
+    def band(dshift):
+        d = j - q + jnp.float32(dshift)
+        w = jnp.exp(-(d * d) / jnp.float32(temperature))
+        return jnp.where(jnp.abs(d) <= k, w, jnp.float32(0.0))
+
+    return band(-_BLK), band(0), band(_BLK)
+
+
+def _shift_blocks(eb, direction):
+    """Shift the block axis (axis -2 of (..., nb, BLK)) by one block,
+    filling the vacated block with zeros (the conv's zero boundary)."""
+    z = jnp.zeros_like(eb[..., :1, :])
+    if direction > 0:  # eb[b-1] arrives at position b
+        return jnp.concatenate([z, eb[..., :-1, :]], axis=-2)
+    return jnp.concatenate([eb[..., 1:, :], z], axis=-2)
+
+
+def _conv_rows3(e, corners):
+    """Banded conv along axis 1 as three lane-aligned block einsums (see
+    _corner_matrices); avoids the (hgt, nb, BLK+2K) window slab."""
+    wl, wm, wr = corners
+    hgt, wid = e.shape
+    eb = e.reshape(hgt, wid // _BLK, _BLK)
+    s = jnp.einsum("hbj,jq->hbq", eb, wm, precision=_PRECISION)
+    s += jnp.einsum("hbj,jq->hbq", _shift_blocks(eb, 1), wl, precision=_PRECISION)
+    s += jnp.einsum("hbj,jq->hbq", _shift_blocks(eb, -1), wr, precision=_PRECISION)
+    return s.reshape(hgt, wid)
+
+
+def _conv_cols3(e, corners):
+    """Banded conv along axis 0 as three block einsums on the row-block
+    axis — the pass-2 twin of _conv_rows3."""
+    wl, wm, wr = corners
+    hgt, wid = e.shape
+    eb = e.reshape(hgt // _BLK, _BLK, wid)
+    z = jnp.zeros_like(eb[:1])
+    up = jnp.concatenate([z, eb[:-1]], axis=0)  # block b-1
+    dn = jnp.concatenate([eb[1:], z], axis=0)  # block b+1
+    s = jnp.einsum("bjw,jq->bqw", eb, wm, precision=_PRECISION)
+    s += jnp.einsum("bjw,jq->bqw", up, wl, precision=_PRECISION)
+    s += jnp.einsum("bjw,jq->bqw", dn, wr, precision=_PRECISION)
+    return s.reshape(hgt, wid)
+
+
 def _conv_rows(e, wmat, k):
     """W (*) e along axis 1 (the x stencil): windows built by block
     reshape + roll, contracted on the MXU. Differentiated by plain XLA

@@ -190,18 +190,21 @@ def _conv_cols3(e, corners):
 
 def _conv_rows(e, wmat, k):
     """W (*) e along axis 1 (the x stencil): windows built by block
-    reshape + roll, contracted on the MXU. Differentiated by plain XLA
-    AD — a custom VJP with a decoupled backward precision was MEASURED
-    SLOWER (10.05 vs 8.58 ms e2e at 4K): the custom_vjp boundary blocks
-    XLA from fusing the window build/unbuild across fwd/bwd, costing
-    ~1.5 ms, while 3-pass backward matmuls save only ~0.3 ms."""
+    reshape + neighbour pad-of-slice, contracted on the MXU.
+    Differentiated by plain XLA AD — a custom VJP with a decoupled
+    backward precision was MEASURED SLOWER (10.05 vs 8.58 ms e2e at 4K):
+    the custom_vjp boundary blocks XLA from fusing the window
+    build/unbuild across fwd/bwd, costing ~1.5 ms, while 3-pass backward
+    matmuls save only ~0.3 ms. The neighbour blocks are pads of slices
+    (fuse into the einsum operand pipeline), not roll + at[].set
+    (materializes a copy per edge write — the sharded-JFA lesson)."""
     hgt, wid = e.shape
     nb = wid // _BLK
     eb = e.reshape(hgt, nb, _BLK)
-    left = jnp.roll(eb, 1, axis=1)[:, :, _BLK - k :]
-    left = left.at[:, 0, :].set(jnp.float32(0.0))  # border: exp(-PAD) = 0
-    right = jnp.roll(eb, -1, axis=1)[:, :, :k]
-    right = right.at[:, -1, :].set(jnp.float32(0.0))
+    # block b-1's last k columns, zeros at b=0 (border: exp(-PAD) = 0)
+    left = jnp.pad(eb[:, :-1, _BLK - k :], ((0, 0), (1, 0), (0, 0)))
+    # block b+1's first k columns, zeros at b=nb-1
+    right = jnp.pad(eb[:, 1:, :k], ((0, 0), (0, 1), (0, 0)))
     win = jnp.concatenate([left, eb, right], axis=2)  # (hgt, nb, BLK+2K)
     s = jnp.einsum("hbj,jq->hbq", win, wmat, precision=_PRECISION)
     return s.reshape(hgt, wid)
@@ -213,10 +216,8 @@ def _conv_cols(e, wmat, k):
     hgt, wid = e.shape
     nb = hgt // _BLK
     eb = e.reshape(nb, _BLK, wid)
-    up = jnp.roll(eb, 1, axis=0)[:, _BLK - k :, :]
-    up = up.at[0].set(jnp.float32(0.0))
-    dn = jnp.roll(eb, -1, axis=0)[:, :k, :]
-    dn = dn.at[-1].set(jnp.float32(0.0))
+    up = jnp.pad(eb[:-1, _BLK - k :, :], ((1, 0), (0, 0), (0, 0)))
+    dn = jnp.pad(eb[1:, :k, :], ((0, 1), (0, 0), (0, 0)))
     win = jnp.concatenate([up, eb, dn], axis=1)  # (nb, BLK+2K, wid)
     s = jnp.einsum("bjw,jq->bqw", win, wmat, precision=_PRECISION)
     return s.reshape(hgt, wid)

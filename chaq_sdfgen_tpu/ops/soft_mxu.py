@@ -115,10 +115,23 @@ def mxu_ok(gray, band, tau, temperature, gray_range) -> bool:
     )
 
 
-def _band_matrix(k, temperature):
-    """(BLK+2K, BLK) constant: W[j, q] = exp(-(j-q-K)^2 / T), 0 beyond K."""
-    j = jnp.arange(_BLK + 2 * k, dtype=jnp.float32)[:, None]
-    q = jnp.arange(_BLK, dtype=jnp.float32)[None, :]
+def _conv_blk(k):
+    """Window block width for tap radius k. The einsum contraction is
+    blk+2k, which the MXU pads to a multiple of 128: a 64-wide block
+    with k <= 16 needs ONE 128-deep pass where 128-wide needs two —
+    MEASURED (scripts/prof_blkwidth.py, 4K, K=10): rows 0.23 vs 0.39 ms,
+    cols 0.25 vs 0.30. At K=22 the cols cell regressed (0.46 vs 0.35),
+    so the narrow block is gated at k <= 16 (covers the u8 gamut up to
+    T ~ 2.7; default tau=2, T=1 has K=K2=10)."""
+    return 64 if k <= 16 else _BLK
+
+
+def _band_matrix(k, temperature, blk=None):
+    """(blk+2K, blk) constant: W[j, q] = exp(-(j-q-K)^2 / T), 0 beyond K."""
+    if blk is None:
+        blk = _conv_blk(k)
+    j = jnp.arange(blk + 2 * k, dtype=jnp.float32)[:, None]
+    q = jnp.arange(blk, dtype=jnp.float32)[None, :]
     d = j - q - jnp.float32(k)
     w = jnp.exp(-(d * d) / jnp.float32(temperature))
     return jnp.where(jnp.abs(d) <= k, w, jnp.float32(0.0))
@@ -197,30 +210,78 @@ def _conv_rows(e, wmat, k):
     build/unbuild across fwd/bwd, costing ~1.5 ms, while 3-pass backward
     matmuls save only ~0.3 ms. The neighbour blocks are pads of slices
     (fuse into the einsum operand pipeline), not roll + at[].set
-    (materializes a copy per edge write — the sharded-JFA lesson)."""
+    (materializes a copy per edge write — the sharded-JFA lesson).
+    Block width comes from wmat (see _conv_blk)."""
     hgt, wid = e.shape
-    nb = wid // _BLK
-    eb = e.reshape(hgt, nb, _BLK)
+    blk = wmat.shape[1]
+    nb = wid // blk
+    eb = e.reshape(hgt, nb, blk)
     # block b-1's last k columns, zeros at b=0 (border: exp(-PAD) = 0)
-    left = jnp.pad(eb[:, :-1, _BLK - k :], ((0, 0), (1, 0), (0, 0)))
+    left = jnp.pad(eb[:, :-1, blk - k :], ((0, 0), (1, 0), (0, 0)))
     # block b+1's first k columns, zeros at b=nb-1
     right = jnp.pad(eb[:, 1:, :k], ((0, 0), (0, 1), (0, 0)))
-    win = jnp.concatenate([left, eb, right], axis=2)  # (hgt, nb, BLK+2K)
+    win = jnp.concatenate([left, eb, right], axis=2)  # (hgt, nb, blk+2K)
     s = jnp.einsum("hbj,jq->hbq", win, wmat, precision=_PRECISION)
     return s.reshape(hgt, wid)
 
 
 def _conv_cols(e, wmat, k):
     """W (*) e along axis 0 (the y stencil) — the pass-2 twin, windows on
-    the row-block axis ('bjw,jq->bqw')."""
+    the row-block axis ('bjw,jq->bqw'). Block height comes from wmat
+    (see _conv_blk); callers' padded heights are 128-aligned, which
+    both widths divide."""
     hgt, wid = e.shape
-    nb = hgt // _BLK
-    eb = e.reshape(nb, _BLK, wid)
-    up = jnp.pad(eb[:-1, _BLK - k :, :], ((1, 0), (0, 0), (0, 0)))
+    blk = wmat.shape[1]
+    nb = hgt // blk
+    eb = e.reshape(nb, blk, wid)
+    up = jnp.pad(eb[:-1, blk - k :, :], ((1, 0), (0, 0), (0, 0)))
     dn = jnp.pad(eb[1:, :k, :], ((0, 1), (0, 0), (0, 0)))
-    win = jnp.concatenate([up, eb, dn], axis=1)  # (nb, BLK+2K, wid)
+    win = jnp.concatenate([up, eb, dn], axis=1)  # (nb, blk+2K, wid)
     s = jnp.einsum("bjw,jq->bqw", win, wmat, precision=_PRECISION)
     return s.reshape(hgt, wid)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def conv_rows_sym(e, k, temperature):
+    """Banded Gaussian conv along axis 1 with a self-adjoint VJP.
+
+    w(d) = exp(-d^2/T) is symmetric and the boundary is zero fill, so
+    the adjoint of the conv IS the conv — the backward runs the same
+    window einsum on the cotangent instead of XLA's mechanical
+    transpose of the window build (a blk-deep contraction plus a
+    window-overlap scatter-add, MEASURED 0.8+ ms at 4K/blk64 where
+    this form costs the forward's ~0.25). No residuals are saved:
+    the conv is linear. wmat is rebuilt from (k, T) inside each pass
+    and constant-folds under jit."""
+    return _conv_rows(e, _band_matrix(k, temperature), k)
+
+
+def _conv_rows_sym_fwd(e, k, temperature):
+    return conv_rows_sym(e, k, temperature), None
+
+
+def _conv_rows_sym_bwd(k, temperature, _res, ct):
+    return (_conv_rows(ct, _band_matrix(k, temperature), k),)
+
+
+conv_rows_sym.defvjp(_conv_rows_sym_fwd, _conv_rows_sym_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def conv_cols_sym(e, k, temperature):
+    """Axis-0 twin of conv_rows_sym (see there)."""
+    return _conv_cols(e, _band_matrix(k, temperature), k)
+
+
+def _conv_cols_sym_fwd(e, k, temperature):
+    return conv_cols_sym(e, k, temperature), None
+
+
+def _conv_cols_sym_bwd(k, temperature, _res, ct):
+    return (_conv_cols(ct, _band_matrix(k, temperature), k),)
+
+
+conv_cols_sym.defvjp(_conv_cols_sym_fwd, _conv_cols_sym_bwd)
 
 
 def _safe_neglog(s, temperature, shift, dead_value):
@@ -403,13 +464,11 @@ def soft_sdf_field_mxu(
     )
     e_in = jnp.where(live, jnp.exp(ct1 + ls_in), jnp.float32(0.0))
     e_out = jnp.where(live, jnp.exp(ct1 + ls_out), jnp.float32(0.0))
-    wmat1 = _band_matrix(k, t_f)
-    wmat2 = _band_matrix(k2, t_f)
     # dead input rows/cols are zero; pass-2 windows over them contribute
     # nothing, and dead columns never contaminate live ones (pass 2 is
     # columnwise) — no intermediate masking needed
-    s_in = _conv_cols(_conv_rows(e_in, wmat1, k), wmat2, k2)
-    s_out = _conv_cols(_conv_rows(e_out, wmat1, k), wmat2, k2)
+    s_in = conv_cols_sym(conv_rows_sym(e_in, k, t_f), k2, t_f)
+    s_out = conv_cols_sym(conv_rows_sym(e_out, k, t_f), k2, t_f)
     d2_in = _safe_neglog(s_in, t_f, shift, PF._PAD_H)
     d2_out = _safe_neglog(s_out, t_f, shift, PF._PAD_H)
     e = jnp.float32(eps_f)

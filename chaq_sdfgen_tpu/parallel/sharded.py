@@ -284,16 +284,16 @@ def _local_soft_mm(gray_blk, band, tau, temperature, eps, test_above,
     live_c = jnp.arange(wl)[None, :] < w
     e_in = jnp.where(live_c, jnp.exp(ct1 + ls_in), jnp.float32(0.0))
     e_out = jnp.where(live_c, jnp.exp(ct1 + ls_out), jnp.float32(0.0))
-    w1 = SM._band_matrix(k1, t_f)
-    w2 = SM._band_matrix(k2, t_f)
 
     def field(ev):
-        s1 = SM._conv_rows(ev, w1, k1)  # rows never cross shards
+        # self-adjoint conv wrappers: backward is the same banded conv,
+        # not XLA's transpose of the window build (see soft_mxu)
+        s1 = SM.conv_rows_sym(ev, k1, t_f)  # rows never cross shards
         s1x = halo_fn(s1, k2, y_axis, 0.0)  # (h + 2*k2, wl)
         hx = s1x.shape[0]
         hp2 = -(-hx // SM._BLK) * SM._BLK
         s1p = jnp.pad(s1x, ((0, hp2 - hx), (0, 0)))
-        s2 = SM._conv_cols(s1p, w2, k2)[k2 : k2 + h]
+        s2 = SM.conv_cols_sym(s1p, k2, t_f)[k2 : k2 + h]
         return SM._safe_neglog(s2, t_f, shift, 1e30)
 
     d2_in = field(e_in)

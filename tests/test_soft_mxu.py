@@ -167,3 +167,39 @@ def test_mxu_gate(monkeypatch):
     k, c = soft_mxu._range_stats(10, 2.0, 1.0, (0.0, 255.0))
     assert 1 <= k <= 10 and c >= 0.0
 
+
+
+def test_conv_sym_self_adjoint():
+    """The custom VJP of conv_rows_sym/conv_cols_sym claims the banded
+    Gaussian conv with zero boundary is exactly self-adjoint:
+    <conv(x), y> == <x, conv(y)>. Verify the identity directly AND that
+    jax.grad through the custom VJP matches the identity's prediction
+    (grad of <conv(x), y> wrt x IS conv(y))."""
+    rng = np.random.default_rng(11)
+    k, temp = 5, 1.3
+    x = jnp.asarray(rng.standard_normal((128, 128)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((128, 128)).astype(np.float32))
+    for conv in (soft_mxu.conv_rows_sym, soft_mxu.conv_cols_sym):
+        lhs = jnp.vdot(conv(x, k, temp), y)
+        rhs = jnp.vdot(x, conv(y, k, temp))
+        np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-5)
+        g = jax.grad(lambda v: jnp.vdot(conv(v, k, temp), y))(x)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(conv(y, k, temp)), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_conv_sym_narrow_block_matches_wide():
+    """k <= 16 selects 64-wide window blocks (_conv_blk); the values must
+    match the 128-wide form to f32 reassociation error."""
+    rng = np.random.default_rng(12)
+    e = jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32))
+    k, temp = 9, 2.0
+    assert soft_mxu._conv_blk(k) == 64
+    w128 = soft_mxu._band_matrix(k, temp, blk=128)
+    got = soft_mxu.conv_rows_sym(e, k, temp)
+    want = soft_mxu._conv_rows(e, w128, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+    got = soft_mxu.conv_cols_sym(e, k, temp)
+    want = soft_mxu._conv_cols(e, w128, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)

@@ -267,18 +267,32 @@ def _conv_rows_sym_bwd(k, temperature, _res, ct):
 conv_rows_sym.defvjp(_conv_rows_sym_fwd, _conv_rows_sym_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def conv_cols_sym(e, k, temperature):
-    """Axis-0 twin of conv_rows_sym (see there)."""
+def _cols_conv_any(e, k, temperature, vma):
+    """Cols conv by the fastest available engine: the Pallas MXU kernel
+    (window build in VMEM, one 128-deep dot per 64-row block — measured
+    0.22 vs 0.26 ms for the einsum at 4K, scripts/prof_pallas_conv.py)
+    when the geometry fits and we are on TPU, else the window einsum.
+    ``vma``: mesh axis names the block varies over when called inside
+    shard_map (required on the pallas out_shape by check_vma)."""
+    from chaq_sdfgen_tpu.ops import pallas_band_conv as PC
+
+    if PC.cols_conv_ok(e, k) and jax.default_backend() in ("tpu", "axon"):
+        return PC.cols_conv(e, k, temperature, vma=vma)
     return _conv_cols(e, _band_matrix(k, temperature), k)
 
 
-def _conv_cols_sym_fwd(e, k, temperature):
-    return conv_cols_sym(e, k, temperature), None
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def conv_cols_sym(e, k, temperature, vma=None):
+    """Axis-0 twin of conv_rows_sym (see there)."""
+    return _cols_conv_any(e, k, temperature, vma)
 
 
-def _conv_cols_sym_bwd(k, temperature, _res, ct):
-    return (_conv_cols(ct, _band_matrix(k, temperature), k),)
+def _conv_cols_sym_fwd(e, k, temperature, vma):
+    return conv_cols_sym(e, k, temperature, vma), None
+
+
+def _conv_cols_sym_bwd(k, temperature, vma, _res, ct):
+    return (_cols_conv_any(ct, k, temperature, vma),)
 
 
 conv_cols_sym.defvjp(_conv_cols_sym_fwd, _conv_cols_sym_bwd)

@@ -293,7 +293,7 @@ def _local_soft_mm(gray_blk, band, tau, temperature, eps, test_above,
         hx = s1x.shape[0]
         hp2 = -(-hx // SM._BLK) * SM._BLK
         s1p = jnp.pad(s1x, ((0, hp2 - hx), (0, 0)))
-        s2 = SM.conv_cols_sym(s1p, k2, t_f)[k2 : k2 + h]
+        s2 = SM.conv_cols_sym(s1p, k2, t_f, vma=frozenset({y_axis}))[k2 : k2 + h]
         return SM._safe_neglog(s2, t_f, shift, 1e30)
 
     d2_in = field(e_in)

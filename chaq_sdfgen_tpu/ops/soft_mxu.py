@@ -298,6 +298,43 @@ def _conv_cols_sym_bwd(k, temperature, vma, _res, ct):
 conv_cols_sym.defvjp(_conv_cols_sym_fwd, _conv_cols_sym_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def pass2_fused_sym(a_in, a_out, k2, temperature, shift, eps, vma=None, interpret=False):
+    """Fused pass-2: cols-conv both fields + the soft-SDF tails in ONE
+    Pallas kernel (ops/pallas_band_conv.p2_fused_fwd), with a matching
+    single-kernel backward (tails' VJP + self-adjoint cols-conv of the
+    ds cotangents). Removes the s/ds HBM round-trips and the custom-op
+    glue between four separate bwd stages."""
+    from chaq_sdfgen_tpu.ops import pallas_band_conv as PC
+
+    field, _, _ = PC.p2_fused_fwd(
+        a_in, a_out, k2, temperature, shift, eps, interpret=interpret, vma=vma
+    )
+    return field
+
+
+def _pass2_fused_sym_fwd(a_in, a_out, k2, temperature, shift, eps, vma, interpret):
+    from chaq_sdfgen_tpu.ops import pallas_band_conv as PC
+
+    field, d2i, d2o = PC.p2_fused_fwd(
+        a_in, a_out, k2, temperature, shift, eps, interpret=interpret, vma=vma
+    )
+    return field, (d2i, d2o)
+
+
+def _pass2_fused_sym_bwd(k2, temperature, shift, eps, vma, interpret, res, ct):
+    from chaq_sdfgen_tpu.ops import pallas_band_conv as PC
+
+    d2i, d2o = res
+    return PC.p2_fused_bwd(
+        ct.astype(jnp.float32), d2i, d2o, k2, temperature, shift, eps,
+        interpret=interpret, vma=vma,
+    )
+
+
+pass2_fused_sym.defvjp(_pass2_fused_sym_fwd, _pass2_fused_sym_bwd)
+
+
 def _safe_neglog(s, temperature, shift, dead_value):
     """shift - T log(s), with fully-dead windows (s sums to exactly 0 —
     padded rows/columns beyond the image) routed to ``dead_value``.
@@ -481,8 +518,19 @@ def soft_sdf_field_mxu(
     # dead input rows/cols are zero; pass-2 windows over them contribute
     # nothing, and dead columns never contaminate live ones (pass 2 is
     # columnwise) — no intermediate masking needed
-    s_in = conv_cols_sym(conv_rows_sym(e_in, k, t_f), k2, t_f)
-    s_out = conv_cols_sym(conv_rows_sym(e_out, k, t_f), k2, t_f)
+    a_in = conv_rows_sym(e_in, k, t_f)
+    a_out = conv_rows_sym(e_out, k, t_f)
+    from chaq_sdfgen_tpu.ops import pallas_band_conv as PC
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if PC.cols_conv_ok(a_in, k2) and (on_tpu or interpret):
+        # fused pass 2: cols-conv + tails in one kernel each way
+        field = pass2_fused_sym(
+            a_in, a_out, k2, t_f, shift, eps_f, interpret=not on_tpu
+        )
+        return field[:h, :w]
+    s_in = conv_cols_sym(a_in, k2, t_f)
+    s_out = conv_cols_sym(a_out, k2, t_f)
     d2_in = _safe_neglog(s_in, t_f, shift, PF._PAD_H)
     d2_out = _safe_neglog(s_out, t_f, shift, PF._PAD_H)
     e = jnp.float32(eps_f)

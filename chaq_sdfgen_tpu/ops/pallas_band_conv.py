@@ -200,6 +200,11 @@ def p2_fused_fwd(a_in, a_out, k, temperature, shift, eps, interpret=False, vma=N
     nstrips = hgt // _RS
     nhalo = hgt // _HK
     wt = _weights_t(k, temperature)
+    if vma:
+        # inside shard_map the kernel operands must agree on their
+        # varying-manual-axes; the constant weights are replicated, so
+        # mark them varying over the same axes as the data blocks
+        wt = jax.lax.pcast(wt, tuple(vma), to='varying')
     kernel = functools.partial(
         _p2f_kernel, nstrips=nstrips, temperature=temperature, shift=shift, eps=eps
     )
@@ -231,6 +236,11 @@ def p2_fused_bwd(ct, d2_in, d2_out, k, temperature, shift, eps, interpret=False,
     nstrips = hgt // _RS
     nhalo = hgt // _HK
     wt = _weights_t(k, temperature)
+    if vma:
+        # inside shard_map the kernel operands must agree on their
+        # varying-manual-axes; the constant weights are replicated, so
+        # mark them varying over the same axes as the data blocks
+        wt = jax.lax.pcast(wt, tuple(vma), to='varying')
     kernel = functools.partial(
         _p2b_kernel, nstrips=nstrips, temperature=temperature, shift=shift, eps=eps
     )
@@ -278,6 +288,11 @@ def cols_conv(e, k, temperature, interpret=False, vma=None):
     nstrips = hgt // _RS
     nhalo = hgt // _HK
     wt = _weights_t(k, temperature)
+    if vma:
+        # inside shard_map the kernel operands must agree on their
+        # varying-manual-axes; the constant weights are replicated, so
+        # mark them varying over the same axes as the data blocks
+        wt = jax.lax.pcast(wt, tuple(vma), to='varying')
     kernel = functools.partial(_cols_kernel, nstrips=nstrips)
     out_shape = (
         jax.ShapeDtypeStruct((hgt, wid), jnp.float32)

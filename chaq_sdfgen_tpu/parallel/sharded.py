@@ -261,7 +261,7 @@ def sharded_jfa_distance(
 
 
 def _local_soft_mm(gray_blk, band, tau, temperature, eps, test_above,
-                   gray_range, y_axis, halo_fn, w_real):
+                   gray_range, y_axis, halo_fn, w_real, interpret=False):
     """Shard-local collapsed two-einsum soft field (ops/soft_mxu.py's
     pass2='mm' split for the sharded tier): conv_rows is row-local, the
     pass-2 stencil needs only K2 (~10) rows of the pass-1 SUM per
@@ -285,19 +285,37 @@ def _local_soft_mm(gray_blk, band, tau, temperature, eps, test_above,
     e_in = jnp.where(live_c, jnp.exp(ct1 + ls_in), jnp.float32(0.0))
     e_out = jnp.where(live_c, jnp.exp(ct1 + ls_out), jnp.float32(0.0))
 
-    def field(ev):
+    from chaq_sdfgen_tpu.ops import pallas_band_conv as PC
+
+    def rows_and_halo(ev):
         # self-adjoint conv wrappers: backward is the same banded conv,
         # not XLA's transpose of the window build (see soft_mxu)
         s1 = SM.conv_rows_sym(ev, k1, t_f)  # rows never cross shards
         s1x = halo_fn(s1, k2, y_axis, 0.0)  # (h + 2*k2, wl)
         hx = s1x.shape[0]
         hp2 = -(-hx // SM._BLK) * SM._BLK
-        s1p = jnp.pad(s1x, ((0, hp2 - hx), (0, 0)))
-        s2 = SM.conv_cols_sym(s1p, k2, t_f, vma=frozenset({y_axis}))[k2 : k2 + h]
+        return jnp.pad(s1x, ((0, hp2 - hx), (0, 0)))
+
+    a_in = rows_and_halo(e_in)
+    a_out = rows_and_halo(e_out)
+    vma = frozenset({y_axis})
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if PC.cols_conv_ok(a_in, k2) and (on_tpu or interpret):
+        # fused pass 2 (cols-conv + tails, one kernel each way) on the
+        # halo-extended block; pad rows are dead windows the tails route
+        # to the PAD sentinel and the slice below removes
+        field_ext = SM.pass2_fused_sym(
+            a_in, a_out, k2, t_f, shift, float(eps), vma=vma,
+            interpret=not on_tpu,
+        )
+        return field_ext[k2 : k2 + h, :w_real]
+
+    def d2_of(ap):
+        s2 = SM.conv_cols_sym(ap, k2, t_f, vma=vma)[k2 : k2 + h]
         return SM._safe_neglog(s2, t_f, shift, 1e30)
 
-    d2_in = field(e_in)
-    d2_out = field(e_out)
+    d2_in = d2_of(a_in)
+    d2_out = d2_of(a_out)
     e = jnp.float32(eps)
     d_in = jnp.sqrt(jnp.maximum(d2_in, 0) + e)
     d_out = jnp.sqrt(jnp.maximum(d2_out, 0) + e)
@@ -361,7 +379,7 @@ def sharded_soft_sdf_field(
         def local_mm(gray_blk):
             return _local_soft_mm(
                 gray_blk, band, tau, temperature, eps, test_above,
-                gray_range, y_axis, halo_fn, w_real,
+                gray_range, y_axis, halo_fn, w_real, interpret=interpret,
             )
 
         fn_mm = local_mm

@@ -261,7 +261,8 @@ def sharded_jfa_distance(
 
 
 def _local_soft_mm(gray_blk, band, tau, temperature, eps, test_above,
-                   gray_range, y_axis, halo_fn, w_real, interpret=False):
+                   gray_range, y_axis, halo_fn, w_real, interpret=False,
+                   vma=None):
     """Shard-local collapsed two-einsum soft field (ops/soft_mxu.py's
     pass2='mm' split for the sharded tier): conv_rows is row-local, the
     pass-2 stencil needs only K2 (~10) rows of the pass-1 SUM per
@@ -298,7 +299,6 @@ def _local_soft_mm(gray_blk, band, tau, temperature, eps, test_above,
 
     a_in = rows_and_halo(e_in)
     a_out = rows_and_halo(e_out)
-    vma = frozenset({y_axis})
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if PC.cols_conv_ok(a_in, k2) and (on_tpu or interpret):
         # fused pass 2 (cols-conv + tails, one kernel each way) on the
@@ -374,12 +374,36 @@ def sharded_soft_sdf_field(
         g2d = gray if gray.ndim == 2 else gray.reshape(-1, *gray.shape[-2:])[0]
         use_mm = SM.mxu_ok(g2d, band, tau, temperature, gray_range)
     if use_mm:
+        from chaq_sdfgen_tpu.ops import pallas_band_conv as PC
+        from chaq_sdfgen_tpu.ops import soft_mxu as SM
+
         w_real = gray.shape[-1]
+        # Will _local_soft_mm take the fused Pallas pass-2 branch? Mirror
+        # its geometry: halo-extended pass-1 slab padded to _BLK rows.
+        t_f = float(temperature)
+        k2, _ = SM._range_stats(
+            band, tau, temperature, gray_range, margin=SM._P2_MARGIN_T * t_f
+        )
+        wl = -(-max(w_real, SM._BLK) // SM._BLK) * SM._BLK
+        hx = h_local + 2 * k2
+        hp2 = -(-hx // SM._BLK) * SM._BLK
+        slab = jax.ShapeDtypeStruct((hp2, wl), jnp.float32)
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        fused_p2 = PC.cols_conv_ok(slab, k2) and (on_tpu or interpret)
+        # The interpret-mode Pallas kernel cannot satisfy check_vma: its
+        # jaxpr traces with vma-empty ref loads/consts but evaluates with
+        # vma-carrying blocks (same reason the hard pipeline runs
+        # check_vma=False with Pallas, see sharded_hard_bytes). Compiled
+        # Mosaic kernels only face vma at the pallas_call boundary, where
+        # threading vma through out_shape + pcast'd weights suffices.
+        check = (halo != "rdma") and not (fused_p2 and interpret)
+        vma = frozenset({y_axis}) if check else None
 
         def local_mm(gray_blk):
             return _local_soft_mm(
                 gray_blk, band, tau, temperature, eps, test_above,
                 gray_range, y_axis, halo_fn, w_real, interpret=interpret,
+                vma=vma,
             )
 
         fn_mm = local_mm
@@ -387,7 +411,7 @@ def sharded_soft_sdf_field(
             fn_mm = lambda blk: jax.vmap(local_mm)(blk)
         mapped = jax.shard_map(
             fn_mm, mesh=mesh, in_specs=(spec,), out_specs=spec,
-            check_vma=halo != "rdma",
+            check_vma=check,
         )
         return mapped(gray)
     if use_fused is None:

@@ -829,6 +829,133 @@ int sdfio_decode_hdr(const uint8_t* data, size_t len, uint8_t** out, int* w, int
 }
 
 // ---------------------------------------------------------------------------
+// Softimage PIC decode (the last stb_image input format the framework
+// reads: /root/reference/openmp/sdfgen.c:252-256 inherits it). Written
+// from the published format description: 104-byte header (magic
+// 0x5380f634, version float, 80-byte comment, "PICT", u16be w/h, ratio,
+// fields, pad) then chained 4-byte channel packets
+// {chained, size(bits), type, channel-mask RGBA=0x80/40/20/10} and
+// per-scanline per-packet streams: type 0 raw, 1 pure RLE
+// (count, pixel), 2 mixed RLE (count<128: count+1 literals; 128:
+// u16be count + pixel; >128: count-127 + pixel). Missing channels stay
+// 255 (stb semantics); output is the codec's gray+alpha pair.
+// ---------------------------------------------------------------------------
+
+int sdfio_decode_pic(const uint8_t* data, size_t len, uint8_t** out, int* w, int* h) {
+    if (len < 104 + 4) return -1;
+    if (!(data[0] == 0x53 && data[1] == 0x80 && data[2] == 0xf6 && data[3] == 0x34))
+        return -1;
+    if (memcmp(data + 88, "PICT", 4) != 0) return -1;
+    uint32_t width = ((uint32_t)data[92] << 8) | data[93];
+    uint32_t height = ((uint32_t)data[94] << 8) | data[95];
+    if (width == 0 || height == 0 || width > 1u << 16 || height > 1u << 16) return -2;
+    size_t pos = 104;
+
+    struct Packet {
+        int type;
+        uint8_t mask;
+        int nch;
+    };
+    Packet packets[10];
+    int npk = 0;
+    int chained = 1;
+    while (chained) {
+        if (npk >= 10 || pos + 4 > len) return -2;
+        chained = data[pos];
+        int size = data[pos + 1];
+        int type = data[pos + 2];
+        uint8_t mask = data[pos + 3];
+        pos += 4;
+        if (size != 8) return -20;  // only 8-bit channels (stb too)
+        if (type != 0 && type != 1 && type != 2) return -20;
+        int nch = 0;
+        for (uint8_t m = 0x80; m >= 0x10; m >>= 1)
+            if (mask & m) ++nch;
+        if (nch == 0 || nch > 4) return -2;
+        packets[npk++] = {type, mask, nch};
+    }
+
+    size_t npx = (size_t)width * height;
+    std::vector<uint8_t> rgba(npx * 4, 0xff);  // absent channels stay 255
+    std::vector<uint8_t> px(4);
+    for (uint32_t y = 0; y < height; ++y) {
+        uint8_t* row = rgba.data() + (size_t)y * width * 4;
+        for (int p = 0; p < npk; ++p) {
+            const Packet& pk = packets[p];
+            int chidx[4];
+            int nch = 0;
+            const uint8_t codes[4] = {0x80, 0x40, 0x20, 0x10};
+            for (int c = 0; c < 4; ++c)
+                if (pk.mask & codes[c]) chidx[nch++] = c;
+            auto put = [&](uint32_t x) {
+                for (int c = 0; c < nch; ++c) row[x * 4 + chidx[c]] = px[c];
+            };
+            auto rdpx = [&]() -> bool {
+                if (pos + (size_t)nch > len) return false;
+                for (int c = 0; c < nch; ++c) px[c] = data[pos++];
+                return true;
+            };
+            if (pk.type == 0) {  // uncompressed
+                for (uint32_t x = 0; x < width; ++x) {
+                    if (!rdpx()) return -2;
+                    put(x);
+                }
+            } else if (pk.type == 1) {  // pure run length
+                uint32_t x = 0;
+                while (x < width) {
+                    if (pos >= len) return -2;
+                    uint32_t count = data[pos++];
+                    if (count == 0) return -2;
+                    if (count > width - x) count = width - x;
+                    if (!rdpx()) return -2;
+                    for (uint32_t i = 0; i < count; ++i) put(x + i);
+                    x += count;
+                }
+            } else {  // mixed run length
+                uint32_t x = 0;
+                while (x < width) {
+                    if (pos >= len) return -2;
+                    uint32_t count = data[pos++];
+                    if (count >= 128) {
+                        if (count == 128) {
+                            if (pos + 2 > len) return -2;
+                            count = ((uint32_t)data[pos] << 8) | data[pos + 1];
+                            pos += 2;
+                        } else {
+                            count -= 127;
+                        }
+                        if (count > width - x) return -2;
+                        if (!rdpx()) return -2;
+                        for (uint32_t i = 0; i < count; ++i) put(x + i);
+                        x += count;
+                    } else {
+                        count += 1;
+                        if (count > width - x) return -2;
+                        for (uint32_t i = 0; i < count; ++i) {
+                            if (!rdpx()) return -2;
+                            put(x + i);
+                        }
+                        x += count;
+                    }
+                }
+            }
+        }
+    }
+
+    uint8_t* res = (uint8_t*)malloc(npx * 2);
+    if (!res) return -3;
+    for (size_t i = 0; i < npx; ++i) {
+        const uint8_t* q = rgba.data() + i * 4;
+        res[i * 2] = stb_luminance(q[0], q[1], q[2]);
+        res[i * 2 + 1] = q[3];
+    }
+    *out = res;
+    *w = (int)width;
+    *h = (int)height;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Baseline JPEG decode: sequential DCT, 8-bit precision, 1-3 components,
 // subsampling factors 1 and 2, restart markers. Float separable IDCT
 // (exact mirror of the encoder's FDCT basis), libjpeg-style triangle

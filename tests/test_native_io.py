@@ -394,3 +394,85 @@ def test_hdr_decode_new_rle():
         (ldr[..., 0].astype(int) * 77 + ldr[..., 1].astype(int) * 150 + 29 * ldr[..., 2].astype(int)) >> 8
     ).astype(np.uint8)
     np.testing.assert_array_equal(got[..., 0], want)
+
+
+def _pic_bytes(rgb, alpha=None, ptype=2):
+    """Hand-built Softimage PIC: one RGB packet (+ optional chained alpha
+    packet), packet type 0 (raw), 1 (pure RLE) or 2 (mixed RLE)."""
+    h, w = rgb.shape[:2]
+    head = bytes([0x53, 0x80, 0xF6, 0x34]) + b"\x00" * 4 + b"\x00" * 80 + b"PICT"
+    head += w.to_bytes(2, "big") + h.to_bytes(2, "big")
+    head += b"\x00" * 4 + (3).to_bytes(2, "big") + b"\x00\x00"
+    chained = 1 if alpha is not None else 0
+    pkts = bytes([chained, 8, ptype, 0x80 | 0x40 | 0x20])
+    if alpha is not None:
+        pkts += bytes([0, 8, ptype, 0x10])
+
+    def encode_row(px_rows):  # px_rows: (w, nch) uint8
+        wl = px_rows.shape[0]
+        if ptype == 0:
+            return px_rows.tobytes()
+        out = b""
+        x = 0
+        while x < wl:
+            run = 1
+            while x + run < wl and run < 120 and (px_rows[x + run] == px_rows[x]).all():
+                run += 1
+            if ptype == 1:
+                out += bytes([run]) + px_rows[x].tobytes()
+            elif run >= 2:
+                out += bytes([127 + run]) + px_rows[x].tobytes()
+            else:
+                lit = 1
+                while (
+                    x + lit < wl
+                    and lit < 100
+                    and not (
+                        x + lit + 1 < wl
+                        and (px_rows[x + lit] == px_rows[x + lit + 1]).all()
+                    )
+                ):
+                    lit += 1
+                out += bytes([lit - 1]) + px_rows[x : x + lit].tobytes()
+                run = lit
+            x += run
+        return out
+
+    body = b""
+    for y in range(h):
+        body += encode_row(rgb[y])
+        if alpha is not None:
+            body += encode_row(alpha[y][:, None])
+    return head + pkts + body
+
+
+@pytest.mark.parametrize("ptype", [0, 1, 2])
+def test_pic_decode(ptype):
+    """Softimage PIC (stb_image input format; PIL has no PIC reader, so
+    the native codec is the only path). All three packet encodings."""
+    rng = np.random.default_rng(54)
+    rgb = np.repeat((rng.random((9, 15, 3)) * 255).astype(np.uint8), 3, axis=1)[:, :37]
+    a = np.repeat((rng.random((9, 13)) * 255).astype(np.uint8), 3, axis=1)[:, :37]
+    got = sdfio_native.decode_gray_alpha(_pic_bytes(rgb, alpha=a, ptype=ptype))
+    assert got is not None and got.shape == (9, 37, 2)
+    r, g, b = (rgb[..., i].astype(int) for i in range(3))
+    want = ((r * 77 + g * 150 + 29 * b) >> 8).astype(np.uint8)
+    np.testing.assert_array_equal(got[..., 0], want)
+    np.testing.assert_array_equal(got[..., 1], a)
+    # RGB-only: alpha defaults to 255 (stb memset-0xff semantics)
+    got2 = sdfio_native.decode_gray_alpha(_pic_bytes(rgb, ptype=ptype))
+    assert (got2[..., 1] == 255).all()
+
+
+def test_pic_long_run_u16_count():
+    """Mixed-RLE count==128 takes an explicit u16be repeat count."""
+    w = 300
+    rgb = np.full((2, w, 3), 77, np.uint8)
+    head = bytes([0x53, 0x80, 0xF6, 0x34]) + b"\x00" * 4 + b"\x00" * 80 + b"PICT"
+    head += w.to_bytes(2, "big") + (2).to_bytes(2, "big")
+    head += b"\x00" * 4 + (3).to_bytes(2, "big") + b"\x00\x00"
+    pkts = bytes([0, 8, 2, 0xE0])
+    row = bytes([128]) + w.to_bytes(2, "big") + bytes([77, 77, 77])
+    got = sdfio_native.decode_gray_alpha(head + pkts + row + row)
+    assert got is not None and got.shape == (2, w, 2)
+    assert (got[..., 0] == 77).all() and (got[..., 1] == 255).all()

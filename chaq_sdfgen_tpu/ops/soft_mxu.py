@@ -468,6 +468,22 @@ def soft_sdf_field_mxu(
             f"tau={tau}, T={temperature}; use the fused/composed path"
         )
     k, shift = stats
+    on_tpu_ = jax.default_backend() in ("tpu", "axon")
+    if (
+        pass2 == "mm"
+        and (on_tpu_ or interpret)
+        and _os.environ.get("CHAQ_SOFT_MMF", "1") != "0"
+    ):
+        # fully-fused kernel pair (ops/pallas_soft_mm.py): the whole
+        # collapsed cascade in ONE Pallas kernel each way — measured
+        # 2.73 vs 3.94 ms at 4K fwd+bwd (scripts/prof_mm_fused.py)
+        from chaq_sdfgen_tpu.ops import pallas_soft_mm as PM
+
+        if PM.soft_field_mm_ok(gray, band, tau, temperature, gray_range):
+            return PM.soft_field_mm_fused(
+                gray, band, tau, temperature, eps, test_above, gray_range,
+                interpret=not on_tpu_,
+            )
     tau_f, t_f, eps_f = float(tau), float(temperature), float(eps)
     h, w = gray.shape
     hp = PF._round_up(max(h, _BLK), _BLK)

@@ -375,9 +375,42 @@ def sharded_soft_sdf_field(
         use_mm = SM.mxu_ok(g2d, band, tau, temperature, gray_range)
     if use_mm:
         from chaq_sdfgen_tpu.ops import pallas_band_conv as PC
+        from chaq_sdfgen_tpu.ops import pallas_soft_mm as PM
         from chaq_sdfgen_tpu.ops import soft_mxu as SM
 
         w_real = gray.shape[-1]
+        # seam-free fully-fused split (ops/pallas_soft_mm.py): the gray
+        # halo rides as explicit kernel operands and the backward pulls
+        # the neighbour ct/d2 edges itself — no reassembly copies at all;
+        # bitwise equal to the unsharded fused kernels
+        import os as _os
+
+        shard_shape = jax.ShapeDtypeStruct((h_local, w_real), jnp.float32)
+        use_mmf = (
+            _os.environ.get("CHAQ_SOFT_MMF", "1") != "0"
+            and PM._pick_rs(h_local) is not None
+            and PM.soft_field_mm_ok(shard_shape, band, tau, temperature, gray_range)
+        )
+        if use_mmf:
+            on_tpu_f = jax.default_backend() in ("tpu", "axon")
+            check_f = not (interpret or halo == "rdma")
+            vma_f = frozenset({y_axis}) if check_f else None
+
+            def local_mmf(gray_blk):
+                return PM.sharded_local_mm_fused(
+                    gray_blk, band, tau, temperature, eps, test_above,
+                    gray_range, y_axis, w_real, interpret=not on_tpu_f,
+                    vma=vma_f,
+                )
+
+            fn_mmf = local_mmf
+            if batch_axis is not None:
+                fn_mmf = lambda blk: jax.vmap(local_mmf)(blk)
+            mapped = jax.shard_map(
+                fn_mmf, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                check_vma=check_f,
+            )
+            return mapped(gray)
         # Will _local_soft_mm take the fused Pallas pass-2 branch? Mirror
         # its geometry: halo-extended pass-1 slab padded to _BLK rows.
         t_f = float(temperature)

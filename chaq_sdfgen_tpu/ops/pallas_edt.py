@@ -102,7 +102,8 @@ def _sweep_scratch(dscr, w_rows):
     jax.lax.fori_loop(0, nblk, up_body, carry0)
 
 
-def _row_pass_body(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band, h_mask=None):
+def _row_pass_body(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band, h_mask=None,
+                   out_dtype=jnp.uint8):
     """Pass 1 with the transposes fused in: one program per TM-row block
     of the NATURAL-layout image. The block is transposed in VMEM (512-col
     chunks), both polarity fields sweep along sublanes in one scratch, and
@@ -115,7 +116,8 @@ def _row_pass_body(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band, h_mask
     where no XLA slice runs between the passes."""
     tm = b_ref.shape[0]
     inf = jnp.int32(1 << 20)
-    clipv = jnp.int32(min(band + 1, 255))
+    satv = 255 if out_dtype == jnp.uint8 else 65535
+    clipv = jnp.int32(min(band + 1, satv))
 
     for c in range(0, wp, 512):
         cc = min(512, wp - c)
@@ -145,8 +147,8 @@ def _row_pass_body(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band, h_mask
     for c in range(0, wp, 512):
         cc = min(512, wp - c)
         d = jnp.minimum(dscr[c : c + cc, :], clipv)
-        din_ref[:, c : c + cc] = d[:, 0:tm].T.astype(jnp.uint8)
-        dout_ref[:, c : c + cc] = d[:, tm : 2 * tm].T.astype(jnp.uint8)
+        din_ref[:, c : c + cc] = d[:, 0:tm].T.astype(out_dtype)
+        dout_ref[:, c : c + cc] = d[:, tm : 2 * tm].T.astype(out_dtype)
 
 
 def _row_pass_block_kernel(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band):
@@ -154,7 +156,8 @@ def _row_pass_block_kernel(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band
 
 
 def _row_pass_block_kernel_ext(
-    b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, h_real, band, nb, npad
+    b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, h_real, band, nb, npad,
+    out_dtype=jnp.uint8,
 ):
     """Extended-strip pass 1: grid (nb + 2*npad) row blocks. Blocks
     [0, npad) and [npad+nb, nb+2*npad) write saturated sentinel halos (the
@@ -163,12 +166,13 @@ def _row_pass_block_kernel_ext(
     the passes."""
     i = pl.program_id(0)
     tm = din_ref.shape[0]
+    satv = 255 if out_dtype == jnp.uint8 else 65535
     sentinel = jnp.logical_or(i < npad, i >= npad + nb)
 
     @pl.when(sentinel)
     def _():
-        din_ref[:, :] = jnp.full(din_ref.shape, 255, jnp.uint8)
-        dout_ref[:, :] = jnp.full(dout_ref.shape, 255, jnp.uint8)
+        din_ref[:, :] = jnp.full(din_ref.shape, satv, out_dtype)
+        dout_ref[:, :] = jnp.full(dout_ref.shape, satv, out_dtype)
 
     @pl.when(jnp.logical_not(sentinel))
     def _():
@@ -176,6 +180,7 @@ def _row_pass_block_kernel_ext(
         _row_pass_body(
             b_ref, din_ref, dout_ref, dscr,
             wp=wp, w_actual=w_actual, band=band, h_mask=h_mask,
+            out_dtype=out_dtype,
         )
 
 
@@ -252,7 +257,7 @@ _SEG_HARD = 64  # granularity of the pass-2 segment-min bound tables
 
 def _fused_kernel_adaptive(
     din_ref, dout_ref, smm_ref, out_ref, gin_ref, gout_ref, acc_ref, dtmp_ref,
-    smin_ref, seg_ref, *, band, h, off
+    smin_ref, seg_ref, *, band, h, off, gsz=4
 ):
     """Adaptive variant of _fused_kernel: taps run in 4-|dy| groups from the
     center outward, and a group is skipped when its lower bound
@@ -284,7 +289,10 @@ def _fused_kernel_adaptive(
         seg_ref[s] = jnp.min(gin_ref[sl, :])
         seg_ref[nseg + s] = jnp.min(gout_ref[sl, :])
 
-    n_groups = (band + 3) // 4
+    # outer tap groups of ``gsz`` |dy|'s each (4 for the u8 band buckets —
+    # the measured sweet spot; 16/32 for large-spread u16 bands, where
+    # 4-tap groups would blow the unrolled Mosaic program size)
+    n_groups = 1 + max(0, -(-(band - 4) // gsz))
 
     def band_min_chunk(ref, r, rc, field_idx):
         seg0 = field_idx * nseg
@@ -311,10 +319,10 @@ def _fused_kernel_adaptive(
         smin_ref[2] = jnp.max(acc)
 
         for g in range(1, n_groups):
-            dylo = 4 * g + 1
+            dylo = 4 + (g - 1) * gsz + 1
             if dylo > band:
                 break
-            dyhi = min(4 * (g + 1), band)
+            dyhi = min(4 + g * gsz, band)
             wmin = jnp.minimum(
                 win_min(r + off - dyhi, r + off - dylo + rc),
                 win_min(r + off + dylo, r + off + dyhi + rc),
@@ -411,15 +419,20 @@ def row_distances_u8(
 
 
 def row_distances_u8_ext(
-    b: jnp.ndarray, band: int, interpret: bool | None = None
+    b: jnp.ndarray, band: int, interpret: bool | None = None,
+    dtype=jnp.uint8,
 ) -> tuple[jnp.ndarray, jnp.ndarray, int]:
     """Pass 1 emitting sentinel-extended strips: (H, W) bool ->
     (din_full, dout_full, row_off) where the full arrays are
-    ((nb + 2*npad)*TM, Wp) uint8, image row y lives at strip row
+    ((nb + 2*npad)*TM, Wp) ``dtype``, image row y lives at strip row
     row_off + y, rows outside [row_off, row_off + H) read saturated, and
     columns beyond W read saturated too (no seeds there). Feeds
     fused_pass2_bytes(row_off=...) with zero XLA pad/slice between the
-    passes."""
+    passes.
+
+    dtype=jnp.uint16 lifts the distance saturation to 65535 for
+    large-spread runs (band > 253); the reference's EDT has no spread
+    limit at all (openmp/df.c:29-136 — runtime independent of -s)."""
     if interpret is None:
         interpret = not _is_tpu()
     h, w = b.shape
@@ -432,6 +445,7 @@ def row_distances_u8_ext(
     kern = functools.partial(
         _row_pass_block_kernel_ext,
         wp=wp, w_actual=w, h_real=h, band=band, nb=nb, npad=npad,
+        out_dtype=dtype,
     )
     din, dout = pl.pallas_call(
         kern,
@@ -448,8 +462,8 @@ def row_distances_u8_ext(
             pl.BlockSpec((tm, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(((nb + 2 * npad) * tm, wp), jnp.uint8),
-            jax.ShapeDtypeStruct(((nb + 2 * npad) * tm, wp), jnp.uint8),
+            jax.ShapeDtypeStruct(((nb + 2 * npad) * tm, wp), dtype),
+            jax.ShapeDtypeStruct(((nb + 2 * npad) * tm, wp), dtype),
         ],
         scratch_shapes=[pltpu.VMEM((wp, 2 * tm), jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
@@ -491,7 +505,7 @@ def fused_pass2_bytes(
         hp = out_rows
     if hp % 8 != 0:
         raise ValueError(f"fused_pass2_bytes: H = {hp} must be a multiple of 8")
-    sat = 255
+    sat = 255 if din_ext.dtype == jnp.uint8 else 65535
     wp = _round_up(w, 128)
     tn = _pick_tn(hext, hp, wp)
     if wp % tn != 0:
@@ -522,8 +536,9 @@ def fused_pass2_bytes(
     # skip bound couples the fields (a group must run when EITHER field
     # needs it) and the double-width chunks spill; per-field scans win.
     if adaptive:
+        gsz = 4 if band <= 160 else (16 if band <= 512 else 32)
         kern_b = functools.partial(
-            _fused_kernel_adaptive, band=band, h=hp, off=row_off,
+            _fused_kernel_adaptive, band=band, h=hp, off=row_off, gsz=gsz,
         )
         base_scratch = [
             pltpu.VMEM((hext, tn), jnp.float32),
@@ -591,16 +606,23 @@ def fused_sdf_bytes(
         return fn(b)
 
     h, w = b.shape
-    if h <= 1 or band + 1 > 255:
+    if h <= 1 or band + 1 > 65535:
         # single-row reference quirk (no pass-2 sqrt), or distances beyond
-        # the u8 intermediate's range: take the XLA path
+        # even the u16 intermediate's range: take the XLA path
         from chaq_sdfgen_tpu.ops import merge
 
         d_in, d_out = edt.dual_edt_banded(b, band)
         return merge.remap_to_byte(merge.signed_merge(d_out, d_in), spread, asymmetric)
 
+    # large-spread regime: u16 row-distance strips lift the u8 saturation
+    # ceiling (the reference EDT is spread-independent, openmp/df.c:29-136);
+    # the adaptive pass-2 skip bounds keep the cost near the content's
+    # actual distance scale rather than O(band)
+    dtype = jnp.uint8 if band + 1 <= 255 else jnp.uint16
     hp = _round_up(h, 8)
-    din_f, dout_f, row_off = row_distances_u8_ext(b, band, interpret=interpret)
+    din_f, dout_f, row_off = row_distances_u8_ext(
+        b, band, interpret=interpret, dtype=dtype
+    )
     out = fused_pass2_bytes(
         din_f, dout_f, spread, asymmetric, band, interpret=interpret,
         adaptive=adaptive, row_off=row_off, out_rows=hp,
@@ -632,8 +654,8 @@ def fused_sdf_bytes_dynamic(
     band = roundup(max_spread + 2, 16).
 
     b: (..., H, W) bool; spread: () int/float scalar array."""
-    if band + 1 > 255:
-        raise ValueError(f"fused_sdf_bytes_dynamic needs band <= 254, got {band}")
+    if band + 1 > 65535:
+        raise ValueError(f"fused_sdf_bytes_dynamic needs band <= 65534, got {band}")
     if interpret is None:
         interpret = not _is_tpu()
     if b.ndim > 2:
@@ -651,7 +673,10 @@ def fused_sdf_bytes_dynamic(
             "no-sqrt quirk path — use fused_sdf_bytes (static spread)"
         )
     hp = _round_up(h, 8)
-    din_f, dout_f, row_off = row_distances_u8_ext(b, band, interpret=interpret)
+    dtype = jnp.uint8 if band + 1 <= 255 else jnp.uint16
+    din_f, dout_f, row_off = row_distances_u8_ext(
+        b, band, interpret=interpret, dtype=dtype
+    )
     out = fused_pass2_bytes(
         din_f, dout_f, spread, asymmetric, band, interpret=interpret,
         adaptive=adaptive, row_off=row_off, out_rows=hp,

@@ -100,3 +100,37 @@ def test_batched_leading_dims():
     for i in range(3):
         single = hard_sdf_exact(jnp.asarray(imgs[i]), spread=6, use_pallas=False)
         np.testing.assert_array_equal(np.asarray(batched[i]), np.asarray(single))
+
+
+@pytest.mark.parametrize("spread", [300, 1024])
+def test_exact_large_spread_u16_strips(spread):
+    """band > 253 routes through u16 row-distance strips + wide-group
+    adaptive pass 2 (the reference EDT is spread-independent,
+    openmp/df.c:29-136); still byte-exact at any -s."""
+    from chaq_sdfgen_tpu.ops import pallas_edt
+
+    rng = np.random.default_rng(spread)
+    b = rng.random((256, 250)) < 0.02  # sparse: large distances live
+    inside = oracle.felzenszwalb_edt_2d(oracle.bool_to_indicator(b, True))
+    outside = oracle.felzenszwalb_edt_2d(oracle.bool_to_indicator(b, False))
+    want = oracle.float_to_byte(
+        oracle.signed_merge(outside, inside), spread, False
+    )
+    got = pallas_edt.fused_sdf_bytes(jnp.asarray(b), spread, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_exact_large_spread_single_seed():
+    from chaq_sdfgen_tpu.ops import pallas_edt
+
+    b = np.zeros((200, 130), bool)
+    b[5, 7] = True
+    inside = oracle.felzenszwalb_edt_2d(oracle.bool_to_indicator(b, True))
+    outside = oracle.felzenszwalb_edt_2d(oracle.bool_to_indicator(b, False))
+    want = oracle.float_to_byte(
+        oracle.signed_merge(outside, inside), 300, True
+    )
+    got = pallas_edt.fused_sdf_bytes(
+        jnp.asarray(b), 300, asymmetric=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)

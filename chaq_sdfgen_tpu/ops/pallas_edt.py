@@ -134,7 +134,12 @@ def _row_pass_body(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band, h_mask
             ys = jax.lax.broadcasted_iota(jnp.int32, (cc, tm), 1)
             yv = ys < h_mask
             valid = yv if valid is None else jnp.logical_and(valid, yv)
-        seed_in = blk > 0
+        # tri-state input: 1 = shape pixel, 0 = background, 2 = dead
+        # (out-of-image — seeds NEITHER field; used by the 2-D mesh's
+        # column-halo exchange where beyond-image halo cols must read as
+        # saturated for both polarities). Plain bool inputs are {0, 1},
+        # for which == 1 is exactly the old > 0.
+        seed_in = blk == 1
         seed_out = blk == 0
         if valid is not None:
             seed_in = jnp.logical_and(seed_in, valid)

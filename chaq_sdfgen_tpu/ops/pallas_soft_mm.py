@@ -87,11 +87,24 @@ def _wcolt(k, temperature):
     return jnp.where(jnp.abs(d) <= k, w, jnp.float32(0.0))
 
 
+# matmul precision: 6-pass f32 (HIGHEST) by default; CHAQ_SOFT_MXU_PREC=high
+# opts into the 3-pass decomposition — ~2e-4 forward error, gradients at
+# sigmoid-knee pixels shift up to 16% of scale (measured, see soft_mxu) —
+# for throughput-first forward-only use (atlas generation sweeps)
+import os as _os
+
+_PRECISION = (
+    lax.Precision.HIGH
+    if _os.environ.get("CHAQ_SOFT_MXU_PREC", "highest") == "high"
+    else lax.Precision.HIGHEST
+)
+
+
 def _dot(a, b):
     return lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
+        precision=_PRECISION,
     )
 
 
@@ -545,6 +558,38 @@ def soft_field_mm_ok(gray, band, tau, temperature, gray_range) -> bool:
     hp = max(-(-h // 128) * 128, 256)
     wl = -(-max(w, 128) // 128) * 128
     return mm_fused_ok(hp, wl, s1[0], s2[0])
+
+
+def sharded_local_mm_fused_2d(
+    gray_blk, band, tau, temperature, eps, test_above, gray_range,
+    y_axis, x_axis, interpret=False, vma=None,
+):
+    """2-D ('y','x') tile body: columns are handled by WIDTH EXTENSION —
+    a 128-column gray halo rides in from the x neighbours (lane blocks
+    must stay 128-aligned, so the halo is 128 wide even though the taps
+    only need k1 <= 16), the kernels run on the extended width with the
+    dead-sentinel liveness doing the masking, and the halo columns are
+    sliced off after. Gradients for the halo columns flow back through
+    the exchange's AD transpose (the bwd kernel computes them as the
+    cotangent contributions of THIS shard's outputs; the neighbour adds
+    its own). Rows use the seam-free explicit-halo path unchanged."""
+    from chaq_sdfgen_tpu.ops import soft_mxu as SM
+    from chaq_sdfgen_tpu.parallel.halo import exchange_col_halo
+
+    k1, shift = SM._range_stats(band, tau, temperature, gray_range)
+    k2, _ = SM._range_stats(
+        band, tau, temperature, gray_range, margin=SM._P2_MARGIN_T * float(temperature)
+    )
+    h, w = gray_blk.shape
+    if w % 128 != 0:
+        raise ValueError(f"2-D mm tile width {w} must be 128-aligned")
+    gx = exchange_col_halo(gray_blk.astype(jnp.float32), 128, x_axis, _DEAD)
+    ht, hb = _edge_exchange(gx, y_axis, _DEAD, _DEAD)
+    field = _mm_fused(
+        gx, ht, hb, k1, k2, float(tau), float(temperature),
+        shift, float(eps), test_above, (y_axis, interpret, vma),
+    )
+    return field[:, 128 : 128 + w]
 
 
 def sharded_local_mm_fused(

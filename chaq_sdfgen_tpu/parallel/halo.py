@@ -67,6 +67,18 @@ def exchange_row_halo(g: jnp.ndarray, band: int, axis_name: str, fill: float) ->
     return jnp.concatenate([from_up, g, from_down], axis=yax)
 
 
+def exchange_col_halo(g: jnp.ndarray, band: int, axis_name: str, fill: float) -> jnp.ndarray:
+    """Column twin of exchange_row_halo for 2-D ('y','x') meshes: g is
+    (..., H, W_local) sharded over ``axis_name`` along its LAST axis;
+    returns (..., H, W_local + 2*band). Implemented on the transpose so
+    the multi-hop slicing logic exists once — the transposes are
+    shard-local (H x W_local blocks) and the payload crossing ICI is the
+    same ``band`` columns per direction."""
+    gt = jnp.swapaxes(g, -1, -2)
+    ext = exchange_row_halo(gt, band, axis_name, fill)
+    return jnp.swapaxes(ext, -1, -2)
+
+
 def fetch_row_slab(g: jnp.ndarray, offset: int, axis_name: str, fill) -> jnp.ndarray:
     """Same-shape slab shifted ``offset`` rows in GLOBAL coordinates: out
     row y holds global row (y_global - offset), or ``fill`` beyond the

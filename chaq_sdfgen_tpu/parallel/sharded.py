@@ -79,6 +79,35 @@ def _local_hard_bytes_pallas(b_blk, spread, asymmetric, band, y_axis, interpret,
     )
 
 
+def _local_hard_bytes_pallas_2d(
+    b_blk, spread, asymmetric, band, y_axis, x_axis, interpret,
+    halo_fn=exchange_row_halo,
+):
+    """Per-TILE hard EXACT pipeline for a 2-D ('y','x') mesh — the TPU
+    analogue of the reference's 2-D NDRange decomposition
+    (opencl/main.cpp:798, one work item per pixel). Pass 1's influence
+    range along a row is <= band (distances saturate at band+1), so a
+    band-column SEED halo makes the local row distances exact; beyond-
+    image halo columns carry the tri-state dead code 2 (seeds neither
+    field — see pallas_edt._row_pass_body). Pass 2 is columnwise and
+    reuses the 1-D band-row halo unchanged. Bitwise equal to the 1-D and
+    single-chip paths."""
+    from chaq_sdfgen_tpu.ops import pallas_edt
+    from chaq_sdfgen_tpu.parallel.halo import exchange_col_halo
+
+    w_loc = b_blk.shape[-1]
+    t = b_blk.astype(jnp.uint8)
+    text = exchange_col_halo(t, band, x_axis, 2)
+    din, dout = pallas_edt.row_distances_u8(text, band, interpret=interpret)
+    din = jax.lax.slice_in_dim(din, band, band + w_loc, axis=-1)
+    dout = jax.lax.slice_in_dim(dout, band, band + w_loc, axis=-1)
+    din_ext = halo_fn(din, band, y_axis, 255)
+    dout_ext = halo_fn(dout, band, y_axis, 255)
+    return pallas_edt.fused_pass2_bytes(
+        din_ext, dout_ext, spread, asymmetric, band, interpret=interpret
+    )
+
+
 def sharded_hard_sdf_bytes(
     b: jnp.ndarray,
     spread: int,
@@ -90,6 +119,7 @@ def sharded_hard_sdf_bytes(
     use_pallas: Optional[bool] = None,
     interpret: Optional[bool] = None,
     halo: str = "ppermute",
+    x_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Hard EXACT pipeline over a mesh. b: bool (H, W) or (N, H, W) with H
     divisible by the 'y' mesh axis. Bitwise identical to the single-chip
@@ -97,12 +127,21 @@ def sharded_hard_sdf_bytes(
 
     use_pallas=None auto-selects the fused Pallas kernels whenever the
     per-shard geometry admits them (8-aligned shard height, u8-range
-    band); pass False to force the portable XLA-scan cores."""
+    band); pass False to force the portable XLA-scan cores.
+
+    x_axis: optional second mesh axis sharding image COLUMNS — the 2-D
+    per-chip tile decomposition (SURVEY §2.4; reference analogue
+    opencl/main.cpp:798's width x height NDRange). Requires the Pallas
+    cores."""
     band = band if band is not None else spread + 2
     if batch_axis is None:
-        spec = P(y_axis, None)
+        spec = P(y_axis, None) if x_axis is None else P(y_axis, x_axis)
     else:
-        spec = P(batch_axis, y_axis, None)
+        spec = (
+            P(batch_axis, y_axis, None)
+            if x_axis is None
+            else P(batch_axis, y_axis, x_axis)
+        )
 
     n_y = dict(zip(mesh.axis_names, mesh.devices.shape))[y_axis]
     h_local = b.shape[-2] // n_y
@@ -112,7 +151,17 @@ def sharded_hard_sdf_bytes(
         interpret = jax.default_backend() not in ("tpu", "axon")
 
     halo_fn = _halo_fn(halo, interpret)
-    if use_pallas:
+    if x_axis is not None:
+        if not use_pallas:
+            raise NotImplementedError(
+                "2-D (y,x) tiling requires the Pallas cores (use_pallas)"
+            )
+        fn = functools.partial(
+            _local_hard_bytes_pallas_2d, spread=spread, asymmetric=asymmetric,
+            band=band, y_axis=y_axis, x_axis=x_axis, interpret=interpret,
+            halo_fn=halo_fn,
+        )
+    elif use_pallas:
         fn = functools.partial(
             _local_hard_bytes_pallas, spread=spread, asymmetric=asymmetric,
             band=band, y_axis=y_axis, interpret=interpret, halo_fn=halo_fn,
@@ -340,6 +389,7 @@ def sharded_soft_sdf_field(
     gray_range: Optional[tuple] = None,
     use_mm: Optional[bool] = None,
     fused_impl: Optional[str] = None,
+    x_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Sharded differentiable soft SDF (parallel analogue of
     ops.softsdf.soft_sdf_field). Pass 1 local; pass 2 halo'd; fully
@@ -361,12 +411,18 @@ def sharded_soft_sdf_field(
     halo_fn = _halo_fn(halo, interpret)
     big = edt.big_sentinel(band)
     if batch_axis is None:
-        spec = P(y_axis, None)
+        spec = P(y_axis, None) if x_axis is None else P(y_axis, x_axis)
     else:
-        spec = P(batch_axis, y_axis, None)
+        spec = (
+            P(batch_axis, y_axis, None)
+            if x_axis is None
+            else P(batch_axis, y_axis, x_axis)
+        )
 
     n_y = dict(zip(mesh.axis_names, mesh.devices.shape))[y_axis]
     h_local = gray.shape[-2] // n_y
+    n_x = 1 if x_axis is None else dict(zip(mesh.axis_names, mesh.devices.shape))[x_axis]
+    w_local = gray.shape[-1] // n_x
 
     if use_mm is None:
         from chaq_sdfgen_tpu.ops import soft_mxu as SM
@@ -385,23 +441,37 @@ def sharded_soft_sdf_field(
         # bitwise equal to the unsharded fused kernels
         import os as _os
 
-        shard_shape = jax.ShapeDtypeStruct((h_local, w_real), jnp.float32)
+        shard_shape = jax.ShapeDtypeStruct((h_local, w_local), jnp.float32)
         use_mmf = (
             _os.environ.get("CHAQ_SOFT_MMF", "1") != "0"
             and PM._pick_rs(h_local) is not None
             and PM.soft_field_mm_ok(shard_shape, band, tau, temperature, gray_range)
+            and (x_axis is None or w_local % 128 == 0)
         )
         if use_mmf:
             on_tpu_f = jax.default_backend() in ("tpu", "axon")
             check_f = not (interpret or halo == "rdma")
-            vma_f = frozenset({y_axis}) if check_f else None
+            if not check_f:
+                vma_f = None
+            elif x_axis is None:
+                vma_f = frozenset({y_axis})
+            else:
+                vma_f = frozenset({y_axis, x_axis})
 
-            def local_mmf(gray_blk):
-                return PM.sharded_local_mm_fused(
-                    gray_blk, band, tau, temperature, eps, test_above,
-                    gray_range, y_axis, w_real, interpret=not on_tpu_f,
-                    vma=vma_f,
-                )
+            if x_axis is None:
+                def local_mmf(gray_blk):
+                    return PM.sharded_local_mm_fused(
+                        gray_blk, band, tau, temperature, eps, test_above,
+                        gray_range, y_axis, w_real, interpret=not on_tpu_f,
+                        vma=vma_f,
+                    )
+            else:
+                def local_mmf(gray_blk):
+                    return PM.sharded_local_mm_fused_2d(
+                        gray_blk, band, tau, temperature, eps, test_above,
+                        gray_range, y_axis, x_axis, interpret=not on_tpu_f,
+                        vma=vma_f,
+                    )
 
             fn_mmf = local_mmf
             if batch_axis is not None:
@@ -411,6 +481,12 @@ def sharded_soft_sdf_field(
                 check_vma=check_f,
             )
             return mapped(gray)
+        if x_axis is not None:
+            raise NotImplementedError(
+                "x-axis (column) sharding of the soft path requires the "
+                "fused-mm tier: declared gray_range, static params, "
+                "128-aligned tile width, 128-divisible tile height"
+            )
         # Will _local_soft_mm take the fused Pallas pass-2 branch? Mirror
         # its geometry: halo-extended pass-1 slab padded to _BLK rows.
         t_f = float(temperature)
@@ -447,6 +523,11 @@ def sharded_soft_sdf_field(
             check_vma=check,
         )
         return mapped(gray)
+    if x_axis is not None:
+        raise NotImplementedError(
+            "x-axis (column) sharding of the soft path requires the "
+            "fused-mm tier (declared gray_range + static params)"
+        )
     if use_fused is None:
         from chaq_sdfgen_tpu.ops import pallas_soft_fused as PF
 

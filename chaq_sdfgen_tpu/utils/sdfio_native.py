@@ -40,7 +40,7 @@ def _load():
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        for name in ("png", "bmp", "tga", "pnm", "jpg", "psd", "hdr", "pic"):
+        for name in ("png", "bmp", "tga", "pnm", "jpg", "psd", "hdr", "pic", "gif"):
             dec = getattr(lib, f"sdfio_decode_{name}")
             dec.restype = ctypes.c_int
             dec.argtypes = [
@@ -94,6 +94,8 @@ def _sniff(data: bytes) -> Optional[str]:
         return "hdr"
     if data[:4] == b"\x53\x80\xf6\x34":
         return "pic"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     # TGA has no magic; accept via uncompressed type bytes
     if len(data) > 18 and data[1] == 0 and data[2] in (2, 3):
         return "tga"

@@ -835,6 +835,207 @@ int sdfio_decode_hdr(const uint8_t* data, size_t len, uint8_t** out, int* w, int
 // 0x5380f634, version float, 80-byte comment, "PICT", u16be w/h, ratio,
 // fields, pad) then chained 4-byte channel packets
 // {chained, size(bits), type, channel-mask RGBA=0x80/40/20/10} and
+// ---------------------------------------------------------------------------
+// GIF decode — raster only, FIRST frame (stb_image reads GIF, so the
+// reference binaries do: openmp/sdfgen.c:252-256 inherits stb's full
+// decoder set). GIF87a/89a, variable-code LZW, global/local color
+// tables, interlace, GCE transparency (transparent pixels -> alpha 0).
+// The first frame is composited onto a screen-sized canvas initialized
+// transparent; animation beyond frame 1 stays on the PIL fallback.
+// ---------------------------------------------------------------------------
+
+int sdfio_decode_gif(const uint8_t* data, size_t len, uint8_t** out, int* w, int* h) {
+    if (len < 13) return -1;
+    if (memcmp(data, "GIF87a", 6) != 0 && memcmp(data, "GIF89a", 6) != 0) return -1;
+    int sw = rd_le16(data + 6), sh = rd_le16(data + 8);
+    if (sw <= 0 || sh <= 0 || (int64_t)sw * sh > (int64_t)1 << 30) return -2;
+    uint8_t flags = data[10];
+    size_t pos = 13;
+    uint8_t gct[256][3];
+    int gct_n = 0;
+    if (flags & 0x80) {
+        gct_n = 2 << (flags & 7);
+        if (pos + (size_t)gct_n * 3 > len) return -3;
+        for (int i = 0; i < gct_n; i++) {
+            gct[i][0] = data[pos + 3 * i];
+            gct[i][1] = data[pos + 3 * i + 1];
+            gct[i][2] = data[pos + 3 * i + 2];
+        }
+        pos += (size_t)gct_n * 3;
+    }
+    int transparent = -1;
+    while (pos < len) {
+        uint8_t b = data[pos++];
+        if (b == 0x3b) return -4;  // trailer before any image
+        if (b == 0x21) {           // extension: label + sub-blocks
+            if (pos >= len) return -3;
+            uint8_t label = data[pos++];
+            if (label == 0xf9 && pos + 5 < len && data[pos] == 4) {
+                if (data[pos + 1] & 1) transparent = data[pos + 4];
+            }
+            while (pos < len && data[pos] != 0) pos += 1 + data[pos];
+            if (pos >= len) return -3;
+            pos++;  // block terminator
+            continue;
+        }
+        if (b != 0x2c) return -5;  // not an image descriptor
+        if (pos + 9 > len) return -3;
+        int fx = rd_le16(data + pos), fy = rd_le16(data + pos + 2);
+        int fw = rd_le16(data + pos + 4), fh = rd_le16(data + pos + 6);
+        uint8_t iflags = data[pos + 8];
+        pos += 9;
+        uint8_t lct[256][3];
+        const uint8_t(*pal)[3] = gct;
+        int pal_n = gct_n;
+        if (iflags & 0x80) {
+            int n = 2 << (iflags & 7);
+            if (pos + (size_t)n * 3 > len) return -3;
+            for (int i = 0; i < n; i++) {
+                lct[i][0] = data[pos + 3 * i];
+                lct[i][1] = data[pos + 3 * i + 1];
+                lct[i][2] = data[pos + 3 * i + 2];
+            }
+            pos += (size_t)n * 3;
+            pal = lct;
+            pal_n = n;
+        }
+        if (pal_n == 0) return -6;
+        if (fx < 0 || fy < 0 || fw <= 0 || fh <= 0 || fx + fw > sw || fy + fh > sh)
+            return -7;
+        if (pos >= len) return -3;
+        int min_code = data[pos++];
+        if (min_code < 1 || min_code > 11) return -8;
+
+        // gather the LZW sub-blocks into one contiguous stream
+        std::vector<uint8_t> lzw;
+        while (pos < len && data[pos] != 0) {
+            uint8_t n = data[pos++];
+            if (pos + n > len) return -3;
+            lzw.insert(lzw.end(), data + pos, data + pos + n);
+            pos += n;
+        }
+
+        // LZW decode into the frame's index raster (textbook GIF LZW:
+        // variable code width, clear/EOI, the KwKwK code == next case)
+        std::vector<uint8_t> idx((size_t)fw * fh, 0);
+        {
+            const int clear = 1 << min_code;
+            const int eoi = clear + 1;
+            std::vector<int16_t> prefix(4096, -1);
+            std::vector<uint8_t> suffix(4096), first(4096);
+            for (int i = 0; i < clear; i++) {
+                suffix[i] = first[i] = (uint8_t)i;
+            }
+            int next = eoi + 1, width = min_code + 1;
+            uint32_t acc = 0;
+            int nbits = 0;
+            size_t bp = 0, outp = 0;
+            int prev = -1;
+            std::vector<uint8_t> expand;
+            auto emit = [&](int code) {  // append string(code) to idx
+                expand.clear();
+                int c = code;
+                while (c >= clear) {
+                    expand.push_back(suffix[c]);
+                    c = prefix[c];
+                }
+                expand.push_back(suffix[c]);
+                for (size_t i = expand.size(); i-- > 0;)
+                    if (outp < idx.size()) idx[outp++] = expand[i];
+            };
+            while (outp < idx.size()) {
+                while (nbits < width && bp < lzw.size()) {
+                    acc |= (uint32_t)lzw[bp++] << nbits;
+                    nbits += 8;
+                }
+                if (nbits < width) break;  // stream exhausted
+                int code = (int)(acc & ((1u << width) - 1));
+                acc >>= width;
+                nbits -= width;
+                if (code == clear) {
+                    next = eoi + 1;
+                    width = min_code + 1;
+                    prev = -1;
+                    continue;
+                }
+                if (code == eoi) break;
+                if (prev < 0) {
+                    if (code >= clear) return -9;  // first code must be a root
+                    emit(code);
+                    prev = code;
+                } else {
+                    if (code > next) return -9;
+                    if (code == next) {
+                        // KwKwK: string(prev) + first(prev)
+                        if (next >= 4096) return -9;
+                        prefix[next] = (int16_t)prev;
+                        suffix[next] = first[prev];
+                        first[next] = first[prev];
+                        emit(next);
+                        next++;
+                    } else {
+                        if (next < 4096) {
+                            prefix[next] = (int16_t)prev;
+                            suffix[next] = first[code];
+                            first[next] = first[prev];
+                            next++;
+                        }
+                        emit(code);
+                    }
+                    prev = code;
+                }
+                if (next == (1 << width) && width < 12) width++;
+            }
+        }
+
+        // composite onto the canvas (transparent-initialized), honoring
+        // interlace row order
+        uint8_t* buf = (uint8_t*)malloc((size_t)sw * sh * 2);
+        if (!buf) return -10;
+        memset(buf, 0, (size_t)sw * sh * 2);  // gray 0, alpha 0
+        static const int ioff[4] = {0, 4, 2, 1};
+        static const int istep[4] = {8, 8, 4, 2};
+        size_t src = 0;
+        if (iflags & 0x40) {
+            for (int p = 0; p < 4; p++)
+                for (int y = ioff[p]; y < fh; y += istep[p]) {
+                    for (int x = 0; x < fw; x++) {
+                        uint8_t ci = idx[src + (size_t)x];
+                        uint8_t* px = buf + (((size_t)(fy + y) * sw) + fx + x) * 2;
+                        if ((int)ci == transparent) {
+                            px[0] = 0;
+                            px[1] = 0;
+                        } else {
+                            const uint8_t* c = pal[ci < pal_n ? ci : 0];
+                            px[0] = stb_luminance(c[0], c[1], c[2]);
+                            px[1] = 255;
+                        }
+                    }
+                    src += (size_t)fw;
+                }
+        } else {
+            for (int y = 0; y < fh; y++)
+                for (int x = 0; x < fw; x++) {
+                    uint8_t ci = idx[(size_t)y * fw + x];
+                    uint8_t* px = buf + (((size_t)(fy + y) * sw) + fx + x) * 2;
+                    if ((int)ci == transparent) {
+                        px[0] = 0;
+                        px[1] = 0;
+                    } else {
+                        const uint8_t* c = pal[ci < pal_n ? ci : 0];
+                        px[0] = stb_luminance(c[0], c[1], c[2]);
+                        px[1] = 255;
+                    }
+                }
+        }
+        *out = buf;
+        *w = sw;
+        *h = sh;
+        return 0;  // first frame only
+    }
+    return -3;
+}
+
 // per-scanline per-packet streams: type 0 raw, 1 pure RLE
 // (count, pixel), 2 mixed RLE (count<128: count+1 literals; 128:
 // u16be count + pixel; >128: count-127 + pixel). Missing channels stay

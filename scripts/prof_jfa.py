@@ -95,8 +95,10 @@ def vary(p, i):
 
 
 def run(name, f, p_init):
+    # vary the input with the loop index so XLA cannot hoist the body
+    # (i & 1 flips packed low bits; shapes/magnitudes unchanged)
     ms, *_ = device_ms_per_iter(
-        lambda i, p: jnp.sum((f(p ^ (i * 0)).astype(jnp.float32))[:64]), p_init
+        lambda i, p: jnp.sum((f(p ^ (i & 1)).astype(jnp.float32))[:64]), p_init
     )
     print(f"{name}: {ms:7.3f} ms/stride")
     return ms

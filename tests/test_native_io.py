@@ -162,7 +162,7 @@ def test_pnm_decode_native():
 
 def test_gif_and_pnm_inputs_end_to_end():
     """stb_image reads GIF/PNM (openmp/sdfgen.c:252-256 inherits it);
-    GIF goes via the PIL fallback, PNM via the native decoder."""
+    both now decode natively (sdfio_decode_gif / _pnm)."""
     from chaq_sdfgen_tpu.utils.imageio import decode_gray_alpha as dec
 
     rng = np.random.default_rng(4)
@@ -476,3 +476,49 @@ def test_pic_long_run_u16_count():
     got = sdfio_native.decode_gray_alpha(head + pkts + row + row)
     assert got is not None and got.shape == (2, w, 2)
     assert (got[..., 0] == 77).all() and (got[..., 1] == 255).all()
+
+
+def _stb_lum_rgb(rgb):
+    a = rgb.astype(np.uint16)
+    return ((a[..., 0] * 77 + a[..., 1] * 150 + 29 * a[..., 2]) >> 8).astype(np.uint8)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_decode_native(interlace):
+    """Native GIF (raster, first frame, LZW): palette + interlace; stb's
+    integer luminance on the palette RGB (reference inherits GIF via stb,
+    openmp/sdfgen.c:252-256)."""
+    from chaq_sdfgen_tpu.utils import sdfio_native
+
+    rng = np.random.default_rng(17 + interlace)
+    a = (rng.random((37, 53, 3)) * 255).astype(np.uint8)
+    img = Image.fromarray(a).convert("P", palette=Image.ADAPTIVE)
+    buf = io.BytesIO()
+    img.save(buf, format="GIF", interlace=interlace)
+    data = buf.getvalue()
+    got = sdfio_native.decode_gray_alpha(data)
+    assert got is not None
+    rgb = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(got[..., 0], _stb_lum_rgb(rgb))
+    assert (got[..., 1] == 255).all()
+
+
+def test_gif_decode_native_transparency():
+    from chaq_sdfgen_tpu.utils import sdfio_native
+
+    rng = np.random.default_rng(23)
+    a = (rng.random((24, 31, 3)) * 255).astype(np.uint8)
+    img = Image.fromarray(a).convert("P", palette=Image.ADAPTIVE)
+    buf = io.BytesIO()
+    img.save(buf, format="GIF", transparency=3)
+    data = buf.getvalue()
+    got = sdfio_native.decode_gray_alpha(data)
+    assert got is not None
+    pidx = np.asarray(Image.open(io.BytesIO(data)))
+    rgb = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    tr = pidx == 3
+    # transparent pixels: gray 0 / alpha 0 (stb's transparent-black
+    # canvas); the rest carry palette luminance at alpha 255
+    assert ((got[..., 1] == 0) == tr).all()
+    assert (got[..., 0][tr] == 0).all()
+    np.testing.assert_array_equal(got[..., 0][~tr], _stb_lum_rgb(rgb)[~tr])

@@ -131,12 +131,13 @@ def _blend(main, halo, live):
     return main * live + halo * (jnp.float32(1.0) - live)
 
 
-def _occupancy(g, tau, temperature, shift, test_above):
-    """gray -> (e_in, e_out) shifted occupancy; _DEAD pixels -> 0."""
+def _occupancy(g, tau, temperature, ct1, test_above):
+    """gray -> (e_in, e_out) shifted occupancy; _DEAD pixels -> 0.
+    ct1 = shift / T (a traced SMEM scalar — one compiled kernel serves
+    every shift; the shift cancels exactly in the output)."""
     sgn = 1.0 if test_above else -1.0
     l = (g - jnp.float32(127.5)) * jnp.float32(sgn / tau)
     ls = -jax.nn.softplus(-l)  # log sigmoid(l)
-    ct1 = jnp.float32(shift / temperature)
     lmask = g > jnp.float32(_DEAD_CUT)
     zero = jnp.float32(0.0)
     e_in = jnp.where(lmask, jnp.exp(ct1 + ls), zero)
@@ -145,8 +146,8 @@ def _occupancy(g, tau, temperature, shift, test_above):
 
 
 def _fwd_kernel(
-    ga, gs, gb, ht, hb, wrf, wrm, wrl, wct, *rest,
-    nstrips, rs, tau, temperature, shift, eps, test_above, memos,
+    ga, gs, gb, ht, hb, wrf, wrm, wrl, wct, sref, *rest,
+    nstrips, rs, tau, temperature, eps, test_above, memos,
 ):
     if memos:
         field_ref, d2i_ref, d2o_ref, es_ref, ast_ref = rest
@@ -158,21 +159,19 @@ def _fwd_kernel(
     bot_live = jnp.where(i < nstrips - 1, jnp.float32(1.0), jnp.float32(0.0))
     ext = rs + 2 * _HK
     wid = gs.shape[1]
+    c = sref[0]
 
     g = jnp.concatenate(
         [_blend(ga[...], ht[...], top_live), gs[...], _blend(gb[...], hb[...], bot_live)],
         axis=0,
     )  # (ext, wid)
-    e_in, e_out = _occupancy(g, tau, temperature, shift, test_above)
+    t = jnp.float32(temperature)
+    e_in, e_out = _occupancy(g, tau, temperature, c / t, test_above)
     es_ref[0:ext, :] = e_in
     es_ref[ext : 2 * ext, :] = e_out
 
     # rows pass: both fields in one stacked dot per column block
     _rows_conv_windows(es_ref, ast_ref, wrf[...], wrm[...], wrl[...], wid)
-
-    # cols pass + tails per 64-row output block
-    t = jnp.float32(temperature)
-    c = jnp.float32(shift)
     flo = jnp.float32(_FLO)
     pad = jnp.float32(_PAD_H)
     e = jnp.float32(eps)
@@ -199,9 +198,9 @@ def _fwd_kernel(
 def _bwd_kernel(
     ct_a, ct_s, ct_b, d2i_a, d2i_s, d2i_b, d2o_a, d2o_s, d2o_b,
     ct_ht, ct_hb, d2i_ht, d2i_hb, d2o_ht, d2o_hb,
-    gs, wrf, wrm, wrl, wct,
+    gs, wrf, wrm, wrl, wct, sref,
     dgray_ref, dss_ref, dast_ref,
-    *, nstrips, rs, tau, temperature, shift, eps, test_above,
+    *, nstrips, rs, tau, temperature, eps, test_above,
 ):
     i = pl.program_id(0)
     top_live = jnp.where(i > 0, jnp.float32(1.0), jnp.float32(0.0))
@@ -209,7 +208,7 @@ def _bwd_kernel(
     ext = rs + 2 * _HK
     wid = gs.shape[1]
     t = jnp.float32(temperature)
-    c = jnp.float32(shift)
+    c = sref[0]
     e = jnp.float32(eps)
 
     ct = jnp.concatenate(
@@ -271,7 +270,7 @@ def _bwd_kernel(
         g = gs[:, cb * 64 : (cb + 1) * 64]
         l = (g - jnp.float32(127.5)) * jnp.float32(sgn / tau)
         ls = -jax.nn.softplus(-l)
-        ct1 = jnp.float32(shift / temperature)
+        ct1 = c / t
         e_in = jnp.exp(ct1 + ls)
         e_out = jnp.exp(ct1 + ls - l)
         si_m = jax.nn.sigmoid(-l)
@@ -331,14 +330,23 @@ def _sds(shape, vma):
     return jax.ShapeDtypeStruct(shape, jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+def _shift_arr(shift, vma):
+    s = jnp.reshape(jnp.asarray(shift, jnp.float32), (1,))
+    if vma:
+        s = jax.lax.pcast(s, tuple(vma), to="varying")
+    return s
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def mm_fused_fwd(
-    gray_p, ht, hb, k1, k2, tau, temperature, shift, eps, test_above,
+    gray_p, ht, hb, shift, k1, k2, tau, temperature, eps, test_above,
     memos=True, interpret=False, vma=None,
 ):
     """One-kernel forward. gray_p: (hgt, wid) f32, dead pixels = _DEAD.
     ht/hb: (16, wid) rows just above/below (constants unsharded, ppermuted
-    neighbour rows sharded). Returns (field, d2_in, d2_out) or field."""
+    neighbour rows sharded). shift: traced scalar (SMEM — cancels exactly
+    in the output, so one compiled kernel serves runtime-computed
+    shifts). Returns (field, d2_in, d2_out) or field."""
     hgt, wid = gray_p.shape
     rs = _pick_rs(hgt)
     if rs is None or not mm_fused_ok(hgt, wid, k1, k2):
@@ -348,7 +356,7 @@ def mm_fused_fwd(
     ws = _weights(k1, k2, temperature, vma)
     kernel = functools.partial(
         _fwd_kernel, nstrips=nstrips, rs=rs, tau=tau, temperature=temperature,
-        shift=shift, eps=eps, test_above=test_above, memos=memos,
+        eps=eps, test_above=test_above, memos=memos,
     )
     ext = rs + 2 * _HK
     n_out = 3 if memos else 1
@@ -365,6 +373,7 @@ def mm_fused_fwd(
             _const_spec((_WIN, 64)),
             _const_spec((_WIN, 64)),
             _const_spec((64, _WIN)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((rs, wid), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -376,19 +385,19 @@ def mm_fused_fwd(
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(gray_p, gray_p, gray_p, ht, hb, *ws)
+    )(gray_p, gray_p, gray_p, ht, hb, *ws, _shift_arr(shift, vma))
     return out if memos else (out[0], None, None)
 
 
-@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18))
+@functools.partial(jax.jit, static_argnums=(11, 12, 13, 14, 15, 16, 17, 18))
 def mm_fused_bwd(
     ct, d2i, d2o, ct_ht, ct_hb, d2i_ht, d2i_hb, d2o_ht, d2o_hb, gray_p,
-    k1, k2, tau, temperature, shift, eps, test_above,
+    shift, k1, k2, tau, temperature, eps, test_above,
     interpret=False, vma=None,
 ):
     """One-kernel backward: dgray from the output cotangent and the d2
     memos (+ their exchanged edge rows when sharded)."""
-    # gray_p rides as arg 9 (traced); statics start at k1
+    # gray_p (9) and shift (10) are traced; statics start at k1
     hgt, wid = ct.shape
     rs = _pick_rs(hgt)
     nstrips = hgt // rs
@@ -396,7 +405,7 @@ def mm_fused_bwd(
     ws = _weights(k1, k2, temperature, vma)
     kernel = functools.partial(
         _bwd_kernel, nstrips=nstrips, rs=rs, tau=tau, temperature=temperature,
-        shift=shift, eps=eps, test_above=test_above,
+        eps=eps, test_above=test_above,
     )
     ext = rs + 2 * _HK
     strip = lambda: pl.BlockSpec((rs, wid), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -416,6 +425,7 @@ def mm_fused_bwd(
             _const_spec((_WIN, 64)),
             _const_spec((_WIN, 64)),
             _const_spec((64, _WIN)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=strip(),
         out_shape=_sds((hgt, wid), vma),
@@ -428,7 +438,7 @@ def mm_fused_bwd(
     )(
         ct, ct, ct, d2i, d2i, d2i, d2o, d2o, d2o,
         ct_ht, ct_hb, d2i_ht, d2i_hb, d2o_ht, d2o_hb,
-        gray_p, *ws,
+        gray_p, *ws, _shift_arr(shift, vma),
     )
 
 
@@ -458,28 +468,30 @@ def _edge_exchange(x, axis_name, fill_top, fill_bot):
     return top, bot
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
-def _mm_fused(gray_p, ht, hb, k1, k2, tau, temperature, shift, eps, test_above, meta):
-    """meta = (y_axis | None, interpret, vma | None) — static."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _mm_fused(gray_p, ht, hb, shift, k1, k2, tau, temperature, eps, test_above, meta):
+    """meta = (y_axis | None, interpret, vma | None) — static. shift is a
+    traced scalar whose cotangent is EXACTLY zero (c - T log(e^{c/T} ...)
+    cancels c)."""
     y_axis, interpret, vma = meta
     field, _, _ = mm_fused_fwd(
-        gray_p, ht, hb, k1, k2, tau, temperature, shift, eps, test_above,
+        gray_p, ht, hb, shift, k1, k2, tau, temperature, eps, test_above,
         memos=False, interpret=interpret, vma=vma,
     )
     return field
 
 
-def _mm_fused_vjp_fwd(gray_p, ht, hb, k1, k2, tau, temperature, shift, eps, test_above, meta):
+def _mm_fused_vjp_fwd(gray_p, ht, hb, shift, k1, k2, tau, temperature, eps, test_above, meta):
     y_axis, interpret, vma = meta
     field, d2i, d2o = mm_fused_fwd(
-        gray_p, ht, hb, k1, k2, tau, temperature, shift, eps, test_above,
+        gray_p, ht, hb, shift, k1, k2, tau, temperature, eps, test_above,
         memos=True, interpret=interpret, vma=vma,
     )
-    return field, (gray_p, d2i, d2o)
+    return field, (gray_p, shift, d2i, d2o)
 
 
-def _mm_fused_vjp_bwd(k1, k2, tau, temperature, shift, eps, test_above, meta, res, ct):
-    gray_p, d2i, d2o = res
+def _mm_fused_vjp_bwd(k1, k2, tau, temperature, eps, test_above, meta, res, ct):
+    gray_p, shift, d2i, d2o = res
     y_axis, interpret, vma = meta
     ct = ct.astype(jnp.float32)
     wid = ct.shape[1]
@@ -498,13 +510,14 @@ def _mm_fused_vjp_bwd(k1, k2, tau, temperature, shift, eps, test_above, meta, re
         d2o_ht, d2o_hb = _edge_exchange(d2o, y_axis, _PAD_H, _PAD_H)
     dgray = mm_fused_bwd(
         ct, d2i, d2o, ct_ht, ct_hb, d2i_ht, d2i_hb, d2o_ht, d2o_hb, gray_p,
-        k1, k2, tau, temperature, shift, eps, test_above,
+        shift, k1, k2, tau, temperature, eps, test_above,
         interpret=interpret, vma=vma,
     )
     zh = jnp.zeros((_HK, wid), jnp.float32)
     if vma:
         zh = jax.lax.pcast(zh, tuple(vma), to="varying")
-    return dgray, zh, zh
+    # shift cotangent: exactly zero (see _mm_fused docstring)
+    return dgray, zh, zh, jnp.zeros_like(jnp.asarray(shift, jnp.float32))
 
 
 _mm_fused.defvjp(_mm_fused_vjp_fwd, _mm_fused_vjp_bwd)
@@ -534,10 +547,45 @@ def soft_field_mm_fused(
     )
     edge = jnp.full((_HK, wl), jnp.float32(_DEAD))
     field = _mm_fused(
-        gray_p, edge, edge, k1, k2, float(tau), float(temperature),
-        shift, float(eps), test_above, (None, interpret, None),
+        gray_p, edge, edge, shift, k1, k2, float(tau), float(temperature),
+        float(eps), test_above, (None, interpret, None),
     )
     return field[:h, :w]
+
+
+def soft_field_mm_rt(gray, shift, band, tau, temperature, eps, test_above=True,
+                     interpret=False):
+    """Fused path with a RUNTIME-computed shift for UNDECLARED-range
+    inputs (the trained-image API): tap radius pinned at min(_HK, band)
+    — extra taps below the true K are exact contributions of the banded
+    sum, and the caller's runtime gate guarantees the needed K fits (see
+    softsdf's dispatch). shift is a traced scalar; its cotangent is
+    exactly zero."""
+    kk = min(_HK, int(band))
+    h, w = gray.shape
+    hp = max(-(-h // 128) * 128, 256)
+    wl = -(-max(w, 128) // 128) * 128
+    gray_p = jnp.pad(
+        gray.astype(jnp.float32), ((0, hp - h), (0, wl - w)),
+        constant_values=jnp.float32(_DEAD),
+    )
+    edge = jnp.full((_HK, wl), jnp.float32(_DEAD))
+    field = _mm_fused(
+        gray_p, edge, edge, shift, kk, kk, float(tau), float(temperature),
+        float(eps), test_above, (None, interpret, None),
+    )
+    return field[:h, :w]
+
+
+def soft_field_mm_rt_ok(shape, band) -> bool:
+    """Static geometry gate for the runtime-shift path (k = _HK)."""
+    if len(shape) != 2:
+        return False
+    h, w = shape
+    hp = max(-(-h // 128) * 128, 256)
+    wl = -(-max(w, 128) // 128) * 128
+    kk = min(_HK, int(band))
+    return mm_fused_ok(hp, wl, kk, kk)
 
 
 def soft_field_mm_ok(gray, band, tau, temperature, gray_range) -> bool:
@@ -586,8 +634,8 @@ def sharded_local_mm_fused_2d(
     gx = exchange_col_halo(gray_blk.astype(jnp.float32), 128, x_axis, _DEAD)
     ht, hb = _edge_exchange(gx, y_axis, _DEAD, _DEAD)
     field = _mm_fused(
-        gx, ht, hb, k1, k2, float(tau), float(temperature),
-        shift, float(eps), test_above, (y_axis, interpret, vma),
+        gx, ht, hb, shift, k1, k2, float(tau), float(temperature),
+        float(eps), test_above, (y_axis, interpret, vma),
     )
     return field[:, 128 : 128 + w]
 
@@ -613,7 +661,7 @@ def sharded_local_mm_fused(
     )
     ht, hb = _edge_exchange(gray_p, y_axis, _DEAD, _DEAD)
     field = _mm_fused(
-        gray_p, ht, hb, k1, k2, float(tau), float(temperature),
-        shift, float(eps), test_above, (y_axis, interpret, vma),
+        gray_p, ht, hb, shift, k1, k2, float(tau), float(temperature),
+        float(eps), test_above, (y_axis, interpret, vma),
     )
     return field[:, :w_real]

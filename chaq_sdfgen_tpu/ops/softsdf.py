@@ -254,6 +254,58 @@ def soft_sdf_field(
                 isinstance(tau, (int, float))
                 and isinstance(temperature, (int, float))
             )
+            # Runtime range gate (no DECLARED range): if the input's
+            # ACTUAL height range fits the f32 global-shift gamut with
+            # k <= 16 taps — true for any image within ~3.6x the u8 range
+            # at default tau/T — take the fused-mm kernels with a
+            # runtime SMEM shift; a lax.cond falls back to the adaptive
+            # kernels otherwise. The gate is exact: the kernel result is
+            # the same banded soft-min within the documented truncation.
+            # CHAQ_SOFT_RT=0 forces the adaptive kernels (A/B timing).
+            if (
+                not dynamic
+                and os.environ.get("CHAQ_SOFT_RT", "1") != "0"
+                and jax.default_backend() in ("tpu", "axon")
+            ):
+                from chaq_sdfgen_tpu.ops import pallas_soft_mm as PM
+
+                t_f, tau_f, eps_f = float(temperature), float(tau), float(eps)
+                kk = min(16, band)
+                # k^2 >= CUT*T + h_max + 6T (pass-2 margin) AND the
+                # global-shift f32 bound h_max <= 140 T
+                limit = min(140.0 * t_f, kk * kk - 36.0 * t_f)
+                if limit > 0 and PM.soft_field_mm_rt_ok(g2d.shape, band):
+                    labs = (
+                        jnp.max(jnp.abs(gray.astype(jnp.float32) - 127.5))
+                        / jnp.float32(tau_f)
+                    )
+                    h_max_rt = jnp.float32(t_f) * jax.nn.softplus(labs)
+                    pred = h_max_rt <= jnp.float32(limit)
+                    shift = jax.lax.stop_gradient(
+                        jnp.maximum(h_max_rt - jnp.float32(60.0 * t_f), 0.0)
+                    )
+
+                    def rt2d(g):
+                        return PM.soft_field_mm_rt(
+                            g, shift, band, tau_f, t_f, eps_f, test_above,
+                            interpret=jax.default_backend()
+                            not in ("tpu", "axon"),
+                        )
+
+                    def ad2d(g):
+                        return pallas_soft_fused.soft_sdf_field_fused(
+                            g, band, tau_f, t_f, eps_f, test_above
+                        )
+
+                    rt_fn, ad_fn = rt2d, ad2d
+                    for _ in range(gray.ndim - 2):
+                        rt_fn = jax.vmap(rt_fn)
+                        ad_fn = jax.vmap(ad_fn)
+                    log.debug(
+                        "soft_sdf_field: runtime-range-gated mm dispatch (%s)",
+                        gray.shape,
+                    )
+                    return jax.lax.cond(pred, rt_fn, ad_fn, gray)
             if dynamic:
                 def fn(g):
                     return pallas_soft_fused.soft_sdf_field_fused_dynamic(

@@ -250,6 +250,14 @@ def sharded_jfa_distance(
             q, r = divmod(k, h_local)
             if k >= n_sh * h_local:
                 return lambda dx: jnp.full_like(sp, none)
+            if n_sh == 1:
+                # exact reduction: with no neighbour, the received band is
+                # the -1 fill, and where(row < r, fill, shift2d(sp, -sgn*r))
+                # IS shift2d's own out-of-range fill — the single-chip
+                # expression. Skipping the rem/pad/where constructs here
+                # removes ~40% of the 1-dev runtime (XLA materializes the
+                # padded constant bands inside the stride loop otherwise).
+                return lambda dx: jfa_ops._shift2d(sp, -sgn * r, dx, none)
             if r == 0 or q >= 1:
                 # the slab is (mostly) remote: one materialized exchange,
                 # dx-shifts read it fused (only the 3 largest strides)

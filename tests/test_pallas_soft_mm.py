@@ -126,3 +126,66 @@ def test_fused_matches_composed_reference():
         os.environ.clear()
         os.environ.update(old)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=0)
+
+
+def _composed(gray, spread, band=None):
+    import os
+    from chaq_sdfgen_tpu.ops import softsdf
+
+    old = dict(os.environ)
+    os.environ["CHAQ_SOFT_FUSED"] = "0"
+    try:
+        return softsdf.soft_sdf_field(
+            gray, spread, tau=TAU, temperature=T, eps=EPS, band=band
+        )
+    finally:
+        os.environ.clear()
+        os.environ.update(old)
+
+
+def test_rt_shift_matches_composed_u8_range():
+    """Runtime-shift kernel on an (undeclared) u8-range image: the shift
+    rides as a traced SMEM scalar, result matches the composed oracle."""
+    rng = np.random.default_rng(31)
+    gray = jnp.asarray((rng.random((256, 200)) * 255).astype(np.float32))
+    band = 16
+    labs = jnp.max(jnp.abs(gray - 127.5)) / TAU
+    shift = jnp.maximum(jnp.float32(T) * jax.nn.softplus(labs) - 60.0 * T, 0.0)
+    got = PM.soft_field_mm_rt(gray, shift, band, TAU, T, EPS, interpret=True)
+    want = _composed(gray, band - 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=0)
+
+
+def test_rt_shift_wide_range_input():
+    """Values ~2x outside [0,255] (a mid-training image): still inside
+    the runtime gate's gamut; matches the composed path, gradient too."""
+    rng = np.random.default_rng(33)
+    gray = jnp.asarray((rng.random((256, 128)) * 550.0 - 150.0).astype(np.float32))
+    band = 18
+    t = float(T)
+    labs = jnp.max(jnp.abs(gray - 127.5)) / TAU
+    h_max = jnp.float32(t) * jax.nn.softplus(labs)
+    assert float(h_max) <= min(140.0 * t, 16 * 16 - 36.0 * t)  # gate would pass
+    shift = jnp.maximum(h_max - 60.0 * t, 0.0)
+    got = PM.soft_field_mm_rt(gray, shift, band, TAU, T, EPS, interpret=True)
+    want = _composed(gray, band - 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=0)
+
+    w = jnp.asarray(rng.standard_normal(gray.shape).astype(np.float32))
+    g1 = jax.grad(
+        lambda g: jnp.sum(w * PM.soft_field_mm_rt(g, shift, band, TAU, T, EPS, interpret=True))
+    )(gray)
+    g2 = jax.grad(lambda g: jnp.sum(w * _composed(g, band - 2)))(gray)
+    scale = float(jnp.max(jnp.abs(g2)))
+    assert float(jnp.max(jnp.abs(g1 - g2))) / scale < 2e-3
+
+
+def test_rt_gate_rejects_extreme_range():
+    """The dispatch limit: h_max beyond the f32 global-shift gamut must
+    keep the adaptive kernels (checked via the gate arithmetic)."""
+    t = 1.0
+    limit = min(140.0 * t, 16 * 16 - 36.0 * t)
+    gray = np.array([[2000.0]], np.float32)  # |l| ~ 936 -> h_max ~ 936
+    labs = abs(2000.0 - 127.5) / 2.0
+    h_max = t * np.log1p(np.exp(-abs(labs))) + t * max(labs, 0.0)
+    assert h_max > limit

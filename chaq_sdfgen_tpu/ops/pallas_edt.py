@@ -103,7 +103,7 @@ def _sweep_scratch(dscr, w_rows):
 
 
 def _row_pass_body(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band, h_mask=None,
-                   out_dtype=jnp.uint8):
+                   out_dtype=jnp.uint8, sat=None):
     """Pass 1 with the transposes fused in: one program per TM-row block
     of the NATURAL-layout image. The block is transposed in VMEM (512-col
     chunks), both polarity fields sweep along sublanes in one scratch, and
@@ -116,8 +116,8 @@ def _row_pass_body(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band, h_mask
     where no XLA slice runs between the passes."""
     tm = b_ref.shape[0]
     inf = jnp.int32(1 << 20)
-    satv = 255 if out_dtype == jnp.uint8 else 65535
-    clipv = jnp.int32(min(band + 1, satv))
+    satv = (255 if out_dtype == jnp.uint8 else 65535) if sat is None else sat
+    clipv = jnp.int32(min(band + 1, satv) if sat is None else sat)
 
     for c in range(0, wp, 512):
         cc = min(512, wp - c)
@@ -162,7 +162,7 @@ def _row_pass_block_kernel(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band
 
 def _row_pass_block_kernel_ext(
     b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, h_real, band, nb, npad,
-    out_dtype=jnp.uint8,
+    out_dtype=jnp.uint8, sat=None,
 ):
     """Extended-strip pass 1: grid (nb + 2*npad) row blocks. Blocks
     [0, npad) and [npad+nb, nb+2*npad) write saturated sentinel halos (the
@@ -171,7 +171,7 @@ def _row_pass_block_kernel_ext(
     the passes."""
     i = pl.program_id(0)
     tm = din_ref.shape[0]
-    satv = 255 if out_dtype == jnp.uint8 else 65535
+    satv = (255 if out_dtype == jnp.uint8 else 65535) if sat is None else sat
     sentinel = jnp.logical_or(i < npad, i >= npad + nb)
 
     @pl.when(sentinel)
@@ -185,7 +185,7 @@ def _row_pass_block_kernel_ext(
         _row_pass_body(
             b_ref, din_ref, dout_ref, dscr,
             wp=wp, w_actual=w_actual, band=band, h_mask=h_mask,
-            out_dtype=out_dtype,
+            out_dtype=out_dtype, sat=sat,
         )
 
 
@@ -425,7 +425,7 @@ def row_distances_u8(
 
 def row_distances_u8_ext(
     b: jnp.ndarray, band: int, interpret: bool | None = None,
-    dtype=jnp.uint8,
+    dtype=jnp.uint8, sat: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, int]:
     """Pass 1 emitting sentinel-extended strips: (H, W) bool ->
     (din_full, dout_full, row_off) where the full arrays are
@@ -450,7 +450,7 @@ def row_distances_u8_ext(
     kern = functools.partial(
         _row_pass_block_kernel_ext,
         wp=wp, w_actual=w, h_real=h, band=band, nb=nb, npad=npad,
-        out_dtype=dtype,
+        out_dtype=dtype, sat=sat,
     )
     din, dout = pl.pallas_call(
         kern,
@@ -686,4 +686,152 @@ def fused_sdf_bytes_dynamic(
         din_f, dout_f, spread, asymmetric, band, interpret=interpret,
         adaptive=adaptive, row_off=row_off, out_rows=hp,
     )
+    return out[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Full-range EXACT distance field (f32) — the exact counterpart of
+# ops/jfa.jfa_distance (and ~2.5x faster at 4K): distance from every
+# pixel to its nearest TRUE pixel with NO spread clamp. Same two-pass
+# structure as the hard pipeline, but the band is the full image height,
+# so the pass-2 tap loop is a fori_loop over 8-|dy| groups (an unrolled
+# band-4095 program would be ~65k statements) with the adaptive
+# segment-min skip bound evaluated per group — dense images run a few
+# groups per chunk; the worst case (one far seed) degrades to O(H) taps
+# per column, the price of exactness (JFA stays the approximate
+# alternative and the scale-out tier).
+#
+# Exactness: row distances are exact integers clipped at _DSAT = 8191 >
+# max real distance for images up to 4K x 4K (so a no-seed row's
+# sentinel can never beat a real candidate: 8191^2 > 4095^2 + 4095^2);
+# d^2 accumulates in i32 (values up to ~84M exceed f32's exact-integer
+# range). Pixels with no seed anywhere read 32768.0, matching
+# jfa_distance's no-seed value.
+# ---------------------------------------------------------------------------
+
+_DSAT = 8191  # row-distance saturation: > sqrt(2) * 4095, squares fit i32
+_DCHUNK = 256  # output rows per chunk (coarser than the banded kernel:
+# the looped groups amortize better over taller chunks)
+
+
+def _dist_kernel(d_ref, out_ref, g_ref, acc_ref, smin_ref, seg_ref, *,
+                 hext, h, off, band):
+    """d_ref: (hext, TN) u16 row-distance strip (one polarity, sentinel-
+    extended, clipped at _DSAT); out: (h, TN) f32 exact distances."""
+    satsq = jnp.int32(_DSAT * _DSAT)
+    nseg = hext // _SEG_HARD
+    for r in range(0, hext, _ROW_CHUNK):
+        rc = min(_ROW_CHUNK, hext - r)
+        di = d_ref[r : r + rc, :].astype(jnp.int32)
+        g_ref[r : r + rc, :] = di * di
+    for s in range(nseg):
+        seg_ref[s] = jnp.min(g_ref[s * _SEG_HARD : (s + 1) * _SEG_HARD, :])
+
+    ngroups = band // 8  # groups of 8 |dy| taps beyond the center group
+
+    for r in range(0, h, _DCHUNK):
+        rc = min(_DCHUNK, h - r)
+        # center group: dy in [0, 8] (static slices)
+        acc = g_ref[r + off : r + off + rc, :]
+        for dy in range(1, min(8, band) + 1):
+            pair = jnp.minimum(
+                g_ref[r + off - dy : r + off - dy + rc, :],
+                g_ref[r + off + dy : r + off + dy + rc, :],
+            )
+            acc = jnp.minimum(acc, pair + jnp.int32(dy * dy))
+        acc_ref[0:rc, :] = acc
+        smin_ref[0] = jnp.max(acc)
+
+        def group(gi, _):
+            dylo = gi * 8  # taps dy = dylo+1 .. dylo+8
+            # window bound from the segment-min table: the rows the
+            # group's 16 taps read, both directions (a clamped index may
+            # pull an adjacent segment into the min — it only LOWERS the
+            # bound, i.e. runs a group unnecessarily, never skips work
+            # that could matter)
+            base_up = r + off - dylo - 8
+            base_dn = r + off + dylo
+            span = rc // _SEG_HARD + 1
+            lo_up = base_up // _SEG_HARD
+            lo_dn = base_dn // _SEG_HARD
+            wmin = seg_ref[jnp.clip(lo_up, 0, nseg - 1)]
+            for t in range(1, span + 1):
+                wmin = jnp.minimum(
+                    wmin, seg_ref[jnp.clip(lo_up + t, 0, nseg - 1)]
+                )
+            for t in range(span + 1):
+                wmin = jnp.minimum(
+                    wmin, seg_ref[jnp.clip(lo_dn + t, 0, nseg - 1)]
+                )
+            dylo1 = dylo + 1
+            bound = dylo1 * dylo1 + wmin
+
+            @pl.when(bound < smin_ref[0])
+            def _():
+                up = g_ref[pl.ds(pl.multiple_of(base_up, 8), rc + 8), :]
+                dn = g_ref[pl.ds(pl.multiple_of(base_dn, 8), rc + 8), :]
+                a = acc_ref[0:rc, :]
+                for j in range(1, 9):
+                    dy = dylo + j
+                    pair = jnp.minimum(up[8 - j : 8 - j + rc, :], dn[j : j + rc, :])
+                    a = jnp.minimum(a, pair + (dy * dy))
+                acc_ref[0:rc, :] = a
+                smin_ref[0] = jnp.max(a)
+
+            return 0
+
+        jax.lax.fori_loop(1, ngroups + 1, group, 0)
+
+        d2 = acc_ref[0:rc, :]
+        dist = _refined_sqrt_inline(d2.astype(jnp.float32))
+        out_ref[r : r + rc, :] = jnp.where(
+            d2 >= satsq, jnp.float32(32768.0), dist
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def exact_distance_field(
+    seeds: jnp.ndarray, interpret: bool | None = None
+) -> jnp.ndarray:
+    """(H, W) bool -> (H, W) f32 EXACT full-range distance to the nearest
+    True pixel (32768.0 where none exists) — jfa_distance's semantics
+    without its rare misses, and measured faster at 4K. H, W <= 4096
+    (the _DSAT exactness argument; fall back to jfa beyond)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    h, w = seeds.shape
+    if max(h, w) > 4096:
+        raise ValueError("exact_distance_field: use jfa beyond 4096 px")
+    band = max(h - 1, 1)
+    # the strips are requested with band + 8 so the last 8-tap group's
+    # reads stay inside the sentinel halo; the opposite-polarity output
+    # is simply discarded (pass 1 computes both in one sweep scratch)
+    din_f, _, row_off = row_distances_u8_ext(
+        seeds, band + 8, interpret=interpret, dtype=jnp.uint16, sat=_DSAT
+    )
+    hext = din_f.shape[0]
+    hp = _round_up(h, 8)
+    wp = din_f.shape[1]
+    tn = 128
+    nseg = hext // _SEG_HARD
+    kern = functools.partial(
+        _dist_kernel, hext=hext, h=hp, off=row_off, band=band
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(wp // tn,),
+        in_specs=[
+            pl.BlockSpec((hext, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((hp, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hext, tn), jnp.int32),
+            pltpu.VMEM((_DCHUNK, tn), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((nseg,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(din_f)
     return out[:h, :w]

@@ -77,3 +77,52 @@ def test_jfa_batched():
     for i in range(2):
         di = np.asarray(jfa.jfa_distance(jnp.asarray(b[i])))
         np.testing.assert_array_equal(d[i], di)
+
+
+def test_exact_distance_field_matches_bruteforce():
+    """The exact full-range field (pallas_edt.exact_distance_field) vs a
+    brute-force integer reference — no JFA-style misses by construction."""
+    from chaq_sdfgen_tpu.ops import pallas_edt
+
+    rng = np.random.default_rng(44)
+    for shape, p in [((96, 80), 0.05), ((200, 130), 0.002)]:
+        b = rng.random(shape) < p
+        got = np.asarray(
+            pallas_edt.exact_distance_field(jnp.asarray(b), interpret=True)
+        )
+        ys, xs = np.nonzero(b)
+        H, W = shape
+        yy, xx = np.mgrid[0:H, 0:W]
+        d2ref = np.min(
+            (yy[..., None] - ys[None, None]) ** 2
+            + (xx[..., None] - xs[None, None]) ** 2,
+            axis=-1,
+        )
+        np.testing.assert_allclose(
+            got.astype(np.float64), np.sqrt(d2ref.astype(np.float64)), atol=1e-3
+        )
+
+
+def test_exact_distance_field_no_seeds_and_far_corner():
+    from chaq_sdfgen_tpu.ops import pallas_edt
+
+    b0 = np.zeros((64, 96), bool)
+    got = np.asarray(pallas_edt.exact_distance_field(jnp.asarray(b0), interpret=True))
+    assert (got == 32768.0).all()  # jfa_distance's no-seed value
+    b1 = np.zeros((256, 256), bool)
+    b1[0, 0] = True
+    got = np.asarray(pallas_edt.exact_distance_field(jnp.asarray(b1), interpret=True))
+    assert abs(got[255, 255] - np.sqrt(2 * 255.0**2)) < 1e-3
+
+
+def test_exact_distance_field_beats_jfa_on_misses():
+    """JFA can miss (overestimate); the exact field never under- or
+    over-estimates. On random dense seeds both agree except at JFA's
+    rare miss pixels, where exact <= jfa."""
+    from chaq_sdfgen_tpu.ops import jfa, pallas_edt
+
+    rng = np.random.default_rng(45)
+    b = jnp.asarray(rng.random((128, 128)) < 0.02)
+    exact = np.asarray(pallas_edt.exact_distance_field(b, interpret=True))
+    approx = np.asarray(jfa.jfa_distance(b))
+    assert (exact <= approx + 1e-4).all()

@@ -64,7 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["trace", "debug", "info", "warn", "err", "critical", "off"],
                    help="log level (default: critical)")
     p.add_argument("--time", action="store_true", dest="time_kernel",
-                   help="print kernel timing (like the OpenCL --time flag)")
+                   help="print kernel timing (like the OpenCL --time flag). "
+                        "NOTE: device time is measured by re-running the "
+                        "pipeline in two timing loops (~40 extra iterations) "
+                        "to cancel the constant dispatch overhead — a --time'd "
+                        "run costs noticeably more than the conversion itself")
     p.add_argument("--no-jit-cache", action="store_true", help=argparse.SUPPRESS)
     return p
 

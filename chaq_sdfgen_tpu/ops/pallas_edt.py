@@ -260,6 +260,96 @@ def _fused_kernel(din_ref, dout_ref, smm_ref, out_ref, gin_ref, gout_ref, *, ban
 _SEG_HARD = 64  # granularity of the pass-2 segment-min bound tables
 
 
+def _fused_kernel_looped(
+    din_ref, dout_ref, smm_ref, out_ref, gin_ref, gout_ref, acc_ref, dtmp_ref,
+    smin_ref, seg_ref, *, band, h, off
+):
+    """Large-band variant of _fused_kernel_adaptive: the outer tap groups
+    run as a fori_loop over 8-|dy| blocks (an unrolled band-1026 program
+    exceeded the Mosaic compile budget; this one is band-independent in
+    program size). Same adaptive segment-min skip bound, evaluated per
+    group with clamped traced indices (clamping can only LOWER the bound
+    — a group may run unnecessarily, never skip real work). Requires
+    off >= 8*(band//8) + 8 (the caller requests strips with band + 8)."""
+    hext = din_ref.shape[0]
+    clipv = jnp.int32(band + 1)
+    nseg = hext // _SEG_HARD
+    for r in range(0, hext, _ROW_CHUNK):
+        rc = min(_ROW_CHUNK, hext - r)
+        di = jnp.minimum(din_ref[r : r + rc, :].astype(jnp.int32), clipv)
+        do = jnp.minimum(dout_ref[r : r + rc, :].astype(jnp.int32), clipv)
+        gin_ref[r : r + rc, :] = (di * di).astype(jnp.float32)
+        gout_ref[r : r + rc, :] = (do * do).astype(jnp.float32)
+    for s in range(nseg):
+        sl = slice(s * _SEG_HARD, min((s + 1) * _SEG_HARD, hext))
+        seg_ref[s] = jnp.min(gin_ref[sl, :])
+        seg_ref[nseg + s] = jnp.min(gout_ref[sl, :])
+
+    ngroups = band // 8
+
+    def band_min_chunk(ref, r, rc, field_idx):
+        seg0 = field_idx * nseg
+        acc = ref[r + off : r + off + rc, :]
+        for dy in range(1, min(8, band) + 1):
+            pair = jnp.minimum(
+                ref[r + off - dy : r + off - dy + rc, :],
+                ref[r + off + dy : r + off + dy + rc, :],
+            )
+            acc = jnp.minimum(acc, pair + jnp.float32(dy * dy))
+        acc_ref[0:rc, :] = acc
+        smin_ref[2] = jnp.max(acc)
+
+        def group(gi, _):
+            dylo = gi * 8  # taps dy = dylo+1 .. dylo+8
+            base_up = r + off - dylo - 8
+            base_dn = r + off + dylo
+            span = rc // _SEG_HARD + 1
+            lo_up = base_up // _SEG_HARD
+            lo_dn = base_dn // _SEG_HARD
+            wmin = seg_ref[seg0 + jnp.clip(lo_up, 0, nseg - 1)]
+            for t in range(1, span + 1):
+                wmin = jnp.minimum(
+                    wmin, seg_ref[seg0 + jnp.clip(lo_up + t, 0, nseg - 1)]
+                )
+            for t in range(span + 1):
+                wmin = jnp.minimum(
+                    wmin, seg_ref[seg0 + jnp.clip(lo_dn + t, 0, nseg - 1)]
+                )
+            dylo1 = dylo + 1
+            lo = (dylo1 * dylo1).astype(jnp.float32) + wmin
+
+            @pl.when(lo < smin_ref[2])
+            def _():
+                up = ref[pl.ds(pl.multiple_of(base_up, 8), rc + 8), :]
+                dn = ref[pl.ds(pl.multiple_of(base_dn, 8), rc + 8), :]
+                a = acc_ref[0:rc, :]
+                for j in range(1, 9):
+                    dy = dylo + j
+                    pair = jnp.minimum(up[8 - j : 8 - j + rc, :], dn[j : j + rc, :])
+                    a = jnp.minimum(a, pair + (dy * dy).astype(jnp.float32))
+                acc_ref[0:rc, :] = a
+                smin_ref[2] = jnp.max(a)
+
+            return 0
+
+        jax.lax.fori_loop(1, ngroups + 1, group, 0)
+        return _refined_sqrt_inline(acc_ref[0:rc, :])
+
+    s_min = smm_ref[0]
+    s_max = smm_ref[1]
+    for r in range(0, h, _ROW_CHUNK):
+        rc = min(_ROW_CHUNK, h - r)
+        dtmp_ref[0:rc, :] = band_min_chunk(gin_ref, r, rc, 0)
+        d_out = band_min_chunk(gout_ref, r, rc, 1)
+        d_in = dtmp_ref[0:rc, :]
+        biased = jnp.where(d_in > 0, d_in + jnp.float32(-1.0), d_in)
+        vals = d_out - biased
+        v = jnp.minimum(vals, s_max)
+        v = jnp.maximum(v, s_min)
+        remap = ((v - s_min) * jnp.float32(255.0)) / (s_max - s_min) + jnp.float32(0.0)
+        out_ref[r : r + rc, :] = remap.astype(jnp.int32).astype(jnp.uint8)
+
+
 def _fused_kernel_adaptive(
     din_ref, dout_ref, smm_ref, out_ref, gin_ref, gout_ref, acc_ref, dtmp_ref,
     smin_ref, seg_ref, *, band, h, off, gsz=4
@@ -540,8 +630,31 @@ def fused_pass2_bytes(
     # measured WORSE on-chip: 3.23 vs 2.42 ms on 4K noise — the shared
     # skip bound couples the fields (a group must run when EITHER field
     # needs it) and the double-width chunks spill; per-field scans win.
-    if adaptive:
-        gsz = 4 if band <= 160 else (16 if band <= 512 else 32)
+    adaptive_scratch = [
+        pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),  # chunk accumulator
+        pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),  # d_in hold
+        pltpu.SMEM((4,), jnp.float32),              # chunk max
+        pltpu.SMEM((2 * nseg,), jnp.float32),       # per-field segment minima
+    ]
+    if adaptive and band > 512:
+        # large bands: the looped-group kernel (program size independent
+        # of band; an unrolled band-1026 kernel exceeded the Mosaic
+        # compile budget). Needs strip headroom for the last group.
+        if row_off < 8 * (band // 8) + 8:
+            raise ValueError(
+                f"fused_pass2_bytes: looped kernel needs row_off >= band+8 "
+                f"(got {row_off} for band {band}); request strips with band+8"
+            )
+        kern_b = functools.partial(
+            _fused_kernel_looped, band=band, h=hp, off=row_off,
+        )
+        base_scratch = [
+            pltpu.VMEM((hext, tn), jnp.float32),
+            pltpu.VMEM((hext, tn), jnp.float32),
+        ]
+        extra_scratch = adaptive_scratch
+    elif adaptive:
+        gsz = 4 if band <= 160 else 16
         kern_b = functools.partial(
             _fused_kernel_adaptive, band=band, h=hp, off=row_off, gsz=gsz,
         )
@@ -549,12 +662,7 @@ def fused_pass2_bytes(
             pltpu.VMEM((hext, tn), jnp.float32),
             pltpu.VMEM((hext, tn), jnp.float32),
         ]
-        extra_scratch = [
-            pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),  # chunk accumulator
-            pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),  # d_in hold
-            pltpu.SMEM((4,), jnp.float32),              # chunk max
-            pltpu.SMEM((2 * nseg,), jnp.float32),       # per-field segment minima
-        ]
+        extra_scratch = adaptive_scratch
     else:
         kern_b = functools.partial(
             _fused_kernel, band=band, h=hp, sq_dtype=jnp.float32, off=row_off,
@@ -679,8 +787,9 @@ def fused_sdf_bytes_dynamic(
         )
     hp = _round_up(h, 8)
     dtype = jnp.uint8 if band + 1 <= 255 else jnp.uint16
+    band_req = band + 8 if (adaptive and band > 512) else band
     din_f, dout_f, row_off = row_distances_u8_ext(
-        b, band, interpret=interpret, dtype=dtype
+        b, band_req, interpret=interpret, dtype=dtype
     )
     out = fused_pass2_bytes(
         din_f, dout_f, spread, asymmetric, band, interpret=interpret,

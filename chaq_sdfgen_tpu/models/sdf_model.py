@@ -106,6 +106,21 @@ def hard_sdf_jfa(
     return merge.remap_to_byte(vals, spread, asymmetric)
 
 
+def signed_distance_field_exact(
+    b: jnp.ndarray, interpret: bool | None = None
+) -> jnp.ndarray:
+    """Signed EXACT full-range distance field (f32, no spread clamp, no
+    byte remap): positive outside the shape, -(d-1) inside (the OpenMP
+    merge bias, openmp/sdfgen.c:98-106). The exact counterpart of the
+    jfa-based field — same semantics, no approximation misses, ~2.5x
+    faster at 4K (pallas_edt.exact_distance_field)."""
+    from chaq_sdfgen_tpu.ops import pallas_edt
+
+    d_in = pallas_edt.exact_distance_field(b, interpret=interpret)
+    d_out = pallas_edt.exact_distance_field(jnp.logical_not(b), interpret=interpret)
+    return merge.signed_merge(d_out, d_in)
+
+
 def _array_platform(x) -> str:
     """Platform of the device an array is committed to (falls back to the
     default backend for numpy inputs / uncommitted arrays)."""

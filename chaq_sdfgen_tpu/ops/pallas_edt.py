@@ -260,6 +260,23 @@ def _fused_kernel(din_ref, dout_ref, smm_ref, out_ref, gin_ref, gout_ref, *, ban
 _SEG_HARD = 64  # granularity of the pass-2 segment-min bound tables
 
 
+def _looped_ok(band, row_off):
+    """Use the looped-group pass-2 kernel: always for band > 512 (the
+    unrolled program would blow the compile budget), and for any band
+    when the strips carry the +8 headroom and CHAQ_HARD_LOOPED is not
+    disabled — the dynamic trip count (~sqrt(chunk max)/8 groups)
+    MEASURED faster than the unrolled 4-tap groups even at band 66
+    (2.0 vs 2.45 ms on 4K dense noise)."""
+    import os as _os
+
+    if row_off < 8 * (band // 8) + 8:
+        return band > 512  # will raise loudly in the caller
+    if band > 512:
+        return True
+    return _os.environ.get("CHAQ_HARD_LOOPED", "1") != "0"
+
+
+
 def _fused_kernel_looped(
     din_ref, dout_ref, smm_ref, out_ref, gin_ref, gout_ref, acc_ref, dtmp_ref,
     smin_ref, seg_ref, *, band, h, off
@@ -643,7 +660,7 @@ def fused_pass2_bytes(
         pltpu.SMEM((4,), jnp.float32),              # chunk max
         pltpu.SMEM((2 * nseg,), jnp.float32),       # per-field segment minima
     ]
-    if adaptive and band > 512:
+    if adaptive and _looped_ok(band, row_off):
         # large bands: the looped-group kernel (program size independent
         # of band; an unrolled band-1026 kernel exceeded the Mosaic
         # compile budget). Needs strip headroom for the last group.
@@ -794,7 +811,7 @@ def fused_sdf_bytes_dynamic(
         )
     hp = _round_up(h, 8)
     dtype = jnp.uint8 if band + 1 <= 255 else jnp.uint16
-    band_req = band + 8 if (adaptive and band > 512) else band
+    band_req = band + 8 if adaptive else band
     din_f, dout_f, row_off = row_distances_u8_ext(
         b, band_req, interpret=interpret, dtype=dtype
     )

@@ -71,11 +71,16 @@ def _local_hard_bytes_pallas(b_blk, spread, asymmetric, band, y_axis, interpret,
     those rows; edge shards read the 255 saturation sentinel)."""
     from chaq_sdfgen_tpu.ops import pallas_edt
 
+    # halo carries band + 8 rows (8-aligned) so the looped-group pass-2
+    # kernel's trip headroom holds under sharding too (same bytes either
+    # way; the extra rows are sentinel-equivalent neighbour data)
+    hr = -(-(band + 8) // 8) * 8
     din, dout = pallas_edt.row_distances_u8(b_blk, band, interpret=interpret)
-    din_ext = halo_fn(din, band, y_axis, 255)
-    dout_ext = halo_fn(dout, band, y_axis, 255)
+    din_ext = halo_fn(din, hr, y_axis, 255)
+    dout_ext = halo_fn(dout, hr, y_axis, 255)
     return pallas_edt.fused_pass2_bytes(
-        din_ext, dout_ext, spread, asymmetric, band, interpret=interpret
+        din_ext, dout_ext, spread, asymmetric, band, interpret=interpret,
+        row_off=hr, out_rows=-(-b_blk.shape[-2] // 8) * 8,
     )
 
 
@@ -101,10 +106,12 @@ def _local_hard_bytes_pallas_2d(
     din, dout = pallas_edt.row_distances_u8(text, band, interpret=interpret)
     din = jax.lax.slice_in_dim(din, band, band + w_loc, axis=-1)
     dout = jax.lax.slice_in_dim(dout, band, band + w_loc, axis=-1)
-    din_ext = halo_fn(din, band, y_axis, 255)
-    dout_ext = halo_fn(dout, band, y_axis, 255)
+    hr = -(-(band + 8) // 8) * 8
+    din_ext = halo_fn(din, hr, y_axis, 255)
+    dout_ext = halo_fn(dout, hr, y_axis, 255)
     return pallas_edt.fused_pass2_bytes(
-        din_ext, dout_ext, spread, asymmetric, band, interpret=interpret
+        din_ext, dout_ext, spread, asymmetric, band, interpret=interpret,
+        row_off=hr, out_rows=-(-b_blk.shape[-2] // 8) * 8,
     )
 
 

@@ -112,7 +112,7 @@ def signed_distance_field_exact(
     """Signed EXACT full-range distance field (f32, no spread clamp, no
     byte remap): positive outside the shape, -(d-1) inside (the OpenMP
     merge bias, openmp/sdfgen.c:98-106). The exact counterpart of the
-    jfa-based field — same semantics, no approximation misses, ~2.5x
+    jfa-based field — same semantics, no approximation misses, ~4.6x
     faster at 4K (pallas_edt.exact_distance_field)."""
     from chaq_sdfgen_tpu.ops import pallas_edt
 

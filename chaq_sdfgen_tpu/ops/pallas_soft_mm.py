@@ -108,12 +108,12 @@ def _dot(a, b):
     )
 
 
-def _rows_conv_windows(src_ref, dst_ref, wrf, wrm, wrl, wid, rlo=0, rhi=None):
+def _rows_conv_windows(src_ref, dst_ref, wrf, wrm, wrl, wid):
     """Banded conv along lanes: per 64-col block, one (rows, 96) x
     (96, 64) MXU dot; edge blocks use the pinned weight matrices so every
     slice stays in bounds (and 16-aligned)."""
     nb = wid // 64
-    sl = slice(rlo, rhi)
+    sl = slice(None)
     for c in range(nb):
         if c == 0:
             win = src_ref[sl, 0:_WIN]
@@ -538,8 +538,6 @@ def soft_field_mm_fused(
     )
     h, w = gray.shape
     hp = max(-(-h // 128) * 128, 256)
-    if hp % 256 != 0 and hp >= 512:
-        pass  # 128-strip grid handles it
     wl = -(-max(w, 128) // 128) * 128
     gray_p = jnp.pad(
         gray.astype(jnp.float32), ((0, hp - h), (0, wl - w)),

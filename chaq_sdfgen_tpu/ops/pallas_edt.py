@@ -938,6 +938,11 @@ def exact_distance_field(
     (the _DSAT exactness argument; fall back to jfa beyond)."""
     if interpret is None:
         interpret = not _is_tpu()
+    if seeds.ndim > 2:
+        fn = functools.partial(exact_distance_field, interpret=interpret)
+        for _ in range(seeds.ndim - 2):
+            fn = jax.vmap(fn)
+        return fn(seeds)
     h, w = seeds.shape
     if max(h, w) > 4096:
         raise ValueError("exact_distance_field: use jfa beyond 4096 px")

@@ -203,3 +203,23 @@ def test_conv_sym_narrow_block_matches_wide():
     got = soft_mxu.conv_cols_sym(e, k, temp)
     want = soft_mxu._conv_cols(e, w128, k)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_mxu_mm_einsum_fallback_still_matches(monkeypatch):
+    """CHAQ_SOFT_MMF=0 keeps the round-3 einsum cascade reachable (the
+    fallback when the fused kernel geometry fails); it must stay in
+    parity with the fused path."""
+    import os
+
+    from chaq_sdfgen_tpu.ops import pallas_soft_mm as PM
+
+    rng = np.random.default_rng(21)
+    gray = jnp.asarray((rng.random((256, 200)) * 255).astype(np.float32))
+    band = 16
+    monkeypatch.setenv("CHAQ_SOFT_MMF", "0")
+    want_einsum = soft_mxu.soft_sdf_field_mxu(gray, band, TAU, T, EPS, interpret=True)
+    monkeypatch.delenv("CHAQ_SOFT_MMF")
+    got_fused = PM.soft_field_mm_fused(gray, band, TAU, T, EPS, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_fused), np.asarray(want_einsum), atol=1e-4, rtol=0
+    )

@@ -387,7 +387,7 @@ def mm_fused_fwd(
             pltpu.VMEM((2 * ext, wid), jnp.float32),
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(gray_p, gray_p, gray_p, ht, hb, *ws, _shift_arr(shift, vma))
     return out if memos else (out[0], None, None)
 
@@ -437,7 +437,7 @@ def mm_fused_bwd(
             pltpu.VMEM((2 * rs, wid), jnp.float32),
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(
         ct, ct, ct, d2i, d2i, d2i, d2o, d2o, d2o,
         ct_ht, ct_hb, d2i_ht, d2i_hb, d2o_ht, d2o_hb,

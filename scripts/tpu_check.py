@@ -43,3 +43,32 @@ dt = min(ts)
 print(f"fused 4K spread=64: {dt*1e3:.2f} ms -> {N*N/dt/1e9:.3f} Gpix/s")
 
 import os; os._exit(0)
+
+# round-4 paths: large-spread looped kernel, exact full-range distance,
+# fused-mm soft (all small-shape, parity-focused)
+bs = rng.random((256, 250)) < 0.02
+inside = oracle.felzenszwalb_edt_2d(oracle.bool_to_indicator(bs, True))
+outside = oracle.felzenszwalb_edt_2d(oracle.bool_to_indicator(bs, False))
+want_ls = oracle.float_to_byte(oracle.signed_merge(outside, inside), 1024, False)
+got_ls = np.asarray(pallas_edt.fused_sdf_bytes(jnp.asarray(bs), 1024))
+print("looped -s1024 maxdiff:", np.abs(got_ls.astype(int) - want_ls.astype(int)).max())
+
+seeds = rng.random((200, 130)) < 0.01
+d = np.asarray(pallas_edt.exact_distance_field(jnp.asarray(seeds)))
+ys, xs = np.nonzero(seeds)
+yy, xx = np.mgrid[0:200, 0:130]
+d2ref = np.min(
+    (yy[..., None] - ys[None, None]) ** 2 + (xx[..., None] - xs[None, None]) ** 2,
+    axis=-1,
+)
+print("exact-distance maxerr:", np.abs(d - np.sqrt(d2ref)).max())
+
+from chaq_sdfgen_tpu.ops import pallas_soft_mm as PM
+from chaq_sdfgen_tpu.ops import softsdf
+gray = jnp.asarray((rng.random((256, 256)) * 255).astype(np.float32))
+f_mm = np.asarray(PM.soft_field_mm_fused(gray, 16, 2.0, 1.0, 1e-6))
+import os
+os.environ["CHAQ_SOFT_FUSED"] = "0"
+f_ref = np.asarray(softsdf.soft_sdf_field(gray, 14, tau=2.0, temperature=1.0))
+os.environ.pop("CHAQ_SOFT_FUSED")
+print("fused-mm soft maxerr:", np.abs(f_mm - f_ref).max())

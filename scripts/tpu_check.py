@@ -42,8 +42,6 @@ for _ in range(5):
 dt = min(ts)
 print(f"fused 4K spread=64: {dt*1e3:.2f} ms -> {N*N/dt/1e9:.3f} Gpix/s")
 
-import os; os._exit(0)
-
 # round-4 paths: large-spread looped kernel, exact full-range distance,
 # fused-mm soft (all small-shape, parity-focused)
 bs = rng.random((256, 250)) < 0.02
@@ -72,3 +70,5 @@ os.environ["CHAQ_SOFT_FUSED"] = "0"
 f_ref = np.asarray(softsdf.soft_sdf_field(gray, 14, tau=2.0, temperature=1.0))
 os.environ.pop("CHAQ_SOFT_FUSED")
 print("fused-mm soft maxerr:", np.abs(f_mm - f_ref).max())
+
+import os as _os_exit; _os_exit._exit(0)  # skip the axon plugin teardown hang

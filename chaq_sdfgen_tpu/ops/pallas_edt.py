@@ -277,6 +277,22 @@ def _looped_ok(band, row_off):
 
 
 
+def _fill_squares(parts, gin_ref, gout_ref, clipv):
+    """Square the u8/u16 row-distance strips into the f32 VMEM scratch.
+    parts: list of (din_src, dout_src, dst_offset) — a single pre-extended
+    strip, or local + explicit halo operands (the sharded seam-free form;
+    dst offsets are 8-aligned by construction: halo rows and shard heights
+    are 8-multiples)."""
+    for din_src, dout_src, dst0 in parts:
+        n = din_src.shape[0]
+        for r in range(0, n, _ROW_CHUNK):
+            rc = min(_ROW_CHUNK, n - r)
+            di = jnp.minimum(din_src[r : r + rc, :].astype(jnp.int32), clipv)
+            do = jnp.minimum(dout_src[r : r + rc, :].astype(jnp.int32), clipv)
+            gin_ref[dst0 + r : dst0 + r + rc, :] = (di * di).astype(jnp.float32)
+            gout_ref[dst0 + r : dst0 + r + rc, :] = (do * do).astype(jnp.float32)
+
+
 def _fused_kernel_looped(
     din_ref, dout_ref, smm_ref, out_ref, gin_ref, gout_ref, acc_ref, dtmp_ref,
     smin_ref, seg_ref, *, band, h, off
@@ -289,14 +305,42 @@ def _fused_kernel_looped(
     — a group may run unnecessarily, never skip real work). Requires
     off >= 8*(band//8) + 8 (the caller requests strips with band + 8)."""
     hext = din_ref.shape[0]
+    _fill_squares([(din_ref, dout_ref, 0)], gin_ref, gout_ref, jnp.int32(band + 1))
+    _looped_core(
+        smm_ref, out_ref, gin_ref, gout_ref, acc_ref, dtmp_ref, smin_ref,
+        seg_ref, band=band, h=h, off=off, hext=hext,
+    )
+
+
+def _fused_kernel_looped_halo(
+    dt_ref, din_ref, db_ref, ot_ref, dout_ref, ob_ref, smm_ref, out_ref,
+    gin_ref, gout_ref, acc_ref, dtmp_ref, smin_ref, seg_ref, *, band, h, off
+):
+    """_fused_kernel_looped with the halo rows as EXPLICIT operands
+    (dt/db = top/bottom din halo, ot/ob = dout halo, each (off, TN)):
+    the sharded pipelines hand the ppermute-received edge rows straight to
+    the kernel, which assembles local + halos in the VMEM scratch it fills
+    anyway — no XLA concat copy of the whole extended strip (the design
+    that removed the sharded soft-mm seams, ops/pallas_soft_mm.py)."""
     clipv = jnp.int32(band + 1)
-    nseg = hext // _SEG_HARD
-    for r in range(0, hext, _ROW_CHUNK):
-        rc = min(_ROW_CHUNK, hext - r)
-        di = jnp.minimum(din_ref[r : r + rc, :].astype(jnp.int32), clipv)
-        do = jnp.minimum(dout_ref[r : r + rc, :].astype(jnp.int32), clipv)
-        gin_ref[r : r + rc, :] = (di * di).astype(jnp.float32)
-        gout_ref[r : r + rc, :] = (do * do).astype(jnp.float32)
+    _fill_squares(
+        [(dt_ref, ot_ref, 0), (din_ref, dout_ref, off), (db_ref, ob_ref, off + h)],
+        gin_ref, gout_ref, clipv,
+    )
+    _looped_core(
+        smm_ref, out_ref, gin_ref, gout_ref, acc_ref, dtmp_ref, smin_ref,
+        seg_ref, band=band, h=h, off=off, hext=2 * off + h,
+    )
+
+
+def _looped_core(
+    smm_ref, out_ref, gin_ref, gout_ref, acc_ref, dtmp_ref, smin_ref, seg_ref,
+    *, band, h, off, hext
+):
+    # ceil: the tail hext % 64 rows (sharded locals' bottom halo when
+    # hext isn't 64-divisible) must be covered by a segment, or the
+    # clamped skip-bound indices overestimate and drop cross-seam seeds
+    nseg = (hext + _SEG_HARD - 1) // _SEG_HARD
     for s in range(nseg):
         sl = slice(s * _SEG_HARD, min((s + 1) * _SEG_HARD, hext))
         seg_ref[s] = jnp.min(gin_ref[sl, :])
@@ -395,14 +439,36 @@ def _fused_kernel_adaptive(
     smin_ref (SMEM: chunk max), seg_ref (SMEM: both fields' segment
     minima, gin at seg0=0, gout at seg0=nseg)."""
     hext = din_ref.shape[0]
+    _fill_squares([(din_ref, dout_ref, 0)], gin_ref, gout_ref, jnp.int32(band + 1))
+    _adaptive_core(
+        smm_ref, out_ref, gin_ref, gout_ref, acc_ref, dtmp_ref, smin_ref,
+        seg_ref, band=band, h=h, off=off, gsz=gsz, hext=hext,
+    )
+
+
+def _fused_kernel_adaptive_halo(
+    dt_ref, din_ref, db_ref, ot_ref, dout_ref, ob_ref, smm_ref, out_ref,
+    gin_ref, gout_ref, acc_ref, dtmp_ref, smin_ref, seg_ref,
+    *, band, h, off, gsz=4
+):
+    """_fused_kernel_adaptive with explicit (off, TN) halo operands —
+    see _fused_kernel_looped_halo."""
     clipv = jnp.int32(band + 1)
+    _fill_squares(
+        [(dt_ref, ot_ref, 0), (din_ref, dout_ref, off), (db_ref, ob_ref, off + h)],
+        gin_ref, gout_ref, clipv,
+    )
+    _adaptive_core(
+        smm_ref, out_ref, gin_ref, gout_ref, acc_ref, dtmp_ref, smin_ref,
+        seg_ref, band=band, h=h, off=off, gsz=gsz, hext=2 * off + h,
+    )
+
+
+def _adaptive_core(
+    smm_ref, out_ref, gin_ref, gout_ref, acc_ref, dtmp_ref, smin_ref, seg_ref,
+    *, band, h, off, gsz, hext
+):
     nseg = (hext + _SEG_HARD - 1) // _SEG_HARD
-    for r in range(0, hext, _ROW_CHUNK):
-        rc = min(_ROW_CHUNK, hext - r)
-        di = jnp.minimum(din_ref[r : r + rc, :].astype(jnp.int32), clipv)
-        do = jnp.minimum(dout_ref[r : r + rc, :].astype(jnp.int32), clipv)
-        gin_ref[r : r + rc, :] = (di * di).astype(jnp.float32)
-        gout_ref[r : r + rc, :] = (do * do).astype(jnp.float32)
     for s in range(nseg):
         sl = slice(s * _SEG_HARD, min((s + 1) * _SEG_HARD, hext))
         seg_ref[s] = jnp.min(gin_ref[sl, :])
@@ -715,6 +781,104 @@ def fused_pass2_bytes(
     return out[:, :w]
 
 
+def fused_pass2_bytes_halo(
+    din: jnp.ndarray,
+    dout: jnp.ndarray,
+    up_in: jnp.ndarray,
+    dn_in: jnp.ndarray,
+    up_out: jnp.ndarray,
+    dn_out: jnp.ndarray,
+    spread,
+    asymmetric: bool,
+    band: int,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Pass 2 with the halo rows as EXPLICIT kernel operands — the
+    sharded seam-free form. din/dout: (H, W) local row-distance strips
+    (H an 8-multiple); up/dn: (HR, W) neighbour halo strips from
+    exchange_row_halo_parts (HR = roundup(band+8, 8), 255/sentinel fill
+    at image edges). Byte-identical to fused_pass2_bytes on the
+    concatenated strips: the kernel assembles exactly the same VMEM
+    scratch, so the only difference is that the whole-strip XLA concat
+    copy never happens (measured +8.9% 1-dev overhead in BENCH_r04).
+
+    Reference bar: the OpenCL NDRange decomposition has zero
+    per-tile assembly cost (opencl/main.cpp:798)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    hp, w = din.shape
+    hr = up_in.shape[0]
+    if hp % 8 != 0 or hr % 8 != 0:
+        raise ValueError(
+            f"fused_pass2_bytes_halo: H = {hp} and HR = {hr} must be 8-multiples"
+        )
+    if hr < 8 * (band // 8) + 8:
+        raise ValueError(
+            f"fused_pass2_bytes_halo: HR = {hr} must be >= band + 8 (band {band})"
+        )
+    hext = hp + 2 * hr
+    sat = 255 if din.dtype == jnp.uint8 else 65535
+    wp = _round_up(w, 128)
+    tn = _pick_tn(hext, hp, wp)
+    if wp % tn != 0:
+        tn_div = tn
+        while wp % tn_div != 0:
+            tn_div -= 128
+        if tn_div >= 128:
+            tn = tn_div
+        else:
+            wp = _round_up(wp, tn)
+    strips = [din, dout, up_in, dn_in, up_out, dn_out]
+    if wp != w:
+        strips = [
+            jnp.pad(s, ((0, 0), (0, wp - s.shape[1])), constant_values=sat)
+            for s in strips
+        ]
+    din_p, dout_p, up_in_p, dn_in_p, up_out_p, dn_out_p = strips
+
+    spread_f = jnp.asarray(spread, jnp.float32)
+    s_min = jnp.float32(0.0) if asymmetric else -spread_f
+    smm = jnp.stack([jnp.asarray(s_min, jnp.float32), spread_f])
+
+    nseg = (hext + _SEG_HARD - 1) // _SEG_HARD
+    scratch = [
+        pltpu.VMEM((hext, tn), jnp.float32),
+        pltpu.VMEM((hext, tn), jnp.float32),
+        pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),
+        pltpu.VMEM((_ROW_CHUNK, tn), jnp.float32),
+        pltpu.SMEM((4,), jnp.float32),
+        pltpu.SMEM((2 * nseg,), jnp.float32),
+    ]
+    if _looped_ok(band, hr):
+        kern = functools.partial(
+            _fused_kernel_looped_halo, band=band, h=hp, off=hr,
+        )
+    else:
+        gsz = 4 if band <= 160 else 16
+        kern = functools.partial(
+            _fused_kernel_adaptive_halo, band=band, h=hp, off=hr, gsz=gsz,
+        )
+
+    def spec(rows):
+        return pl.BlockSpec((rows, tn), lambda j: (0, j), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(wp // tn,),
+        in_specs=[
+            spec(hr), spec(hp), spec(hr),
+            spec(hr), spec(hp), spec(hr),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((hp, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(up_in_p, din_p, dn_in_p, up_out_p, dout_p, dn_out_p, smm)
+    return out[:, :w]
+
+
 @functools.partial(
     jax.jit, static_argnames=("spread", "asymmetric", "band", "interpret", "adaptive")
 )
@@ -757,8 +921,13 @@ def fused_sdf_bytes(
     # actual distance scale rather than O(band)
     dtype = jnp.uint8 if band + 1 <= 255 else jnp.uint16
     hp = _round_up(h, 8)
+    # +8 headroom (mirrors fused_sdf_bytes_dynamic): when band is a
+    # multiple of 128, row_off == band and the looped kernel's last-group
+    # reads would fall outside the strip; pass 2 re-clips to band+1 so
+    # the output stays byte-identical
+    band_req = band + 8 if adaptive else band
     din_f, dout_f, row_off = row_distances_u8_ext(
-        b, band, interpret=interpret, dtype=dtype
+        b, band_req, interpret=interpret, dtype=dtype
     )
     out = fused_pass2_bytes(
         din_f, dout_f, spread, asymmetric, band, interpret=interpret,
@@ -852,13 +1021,17 @@ def _dist_kernel(d_ref, out_ref, g_ref, acc_ref, smin_ref, seg_ref, *,
     """d_ref: (hext, TN) u16 row-distance strip (one polarity, sentinel-
     extended, clipped at _DSAT); out: (h, TN) f32 exact distances."""
     satsq = jnp.int32(_DSAT * _DSAT)
-    nseg = hext // _SEG_HARD
+    # ceil + clamped fill slice: keeps the skip bound conservative even
+    # if strip geometry stops being a 64-row multiple (see
+    # _fused_kernel_looped's seam note)
+    nseg = (hext + _SEG_HARD - 1) // _SEG_HARD
     for r in range(0, hext, _ROW_CHUNK):
         rc = min(_ROW_CHUNK, hext - r)
         di = d_ref[r : r + rc, :].astype(jnp.int32)
         g_ref[r : r + rc, :] = di * di
     for s in range(nseg):
-        seg_ref[s] = jnp.min(g_ref[s * _SEG_HARD : (s + 1) * _SEG_HARD, :])
+        sl = slice(s * _SEG_HARD, min((s + 1) * _SEG_HARD, hext))
+        seg_ref[s] = jnp.min(g_ref[sl, :])
 
     ngroups = band // 8  # groups of 8 |dy| taps beyond the center group
 
@@ -957,7 +1130,7 @@ def exact_distance_field(
     hp = _round_up(h, 8)
     wp = din_f.shape[1]
     tn = 128
-    nseg = hext // _SEG_HARD
+    nseg = (hext + _SEG_HARD - 1) // _SEG_HARD
     kern = functools.partial(
         _dist_kernel, hext=hext, h=hp, off=row_off, band=band
     )

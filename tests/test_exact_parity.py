@@ -134,3 +134,23 @@ def test_exact_large_spread_single_seed():
         jnp.asarray(b), 300, asymmetric=True, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("spread", [638])
+def test_exact_spread_band_multiple_of_128(spread):
+    """Regression (r4 advisor): band = spread + 2 a multiple of 128 made
+    row_off == band, which the looped pass-2 kernel rejected at trace time
+    ('needs row_off >= band+8') on valid inputs. fused_sdf_bytes must
+    request the +8 strip headroom like the dynamic variant; bytes stay
+    identical (pass 2 re-clips to band+1)."""
+    from chaq_sdfgen_tpu.ops import pallas_edt
+
+    rng = np.random.default_rng(spread)
+    b = rng.random((64, 80)) < 0.02
+    inside = oracle.felzenszwalb_edt_2d(oracle.bool_to_indicator(b, True))
+    outside = oracle.felzenszwalb_edt_2d(oracle.bool_to_indicator(b, False))
+    want = oracle.float_to_byte(
+        oracle.signed_merge(outside, inside), spread, False
+    )
+    got = pallas_edt.fused_sdf_bytes(jnp.asarray(b), spread, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), want)

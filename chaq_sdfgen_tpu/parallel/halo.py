@@ -24,6 +24,21 @@ def exchange_row_halo(g: jnp.ndarray, band: int, axis_name: str, fill: float) ->
     store-and-forward relaying). ppermute delivers zeros to edge shards
     outside the permutation; an axis_index mask rewrites those to
     ``fill``."""
+    yax = g.ndim - 2
+    from_up, from_down = exchange_row_halo_parts(g, band, axis_name, fill)
+    return jnp.concatenate([from_up, g, from_down], axis=yax)
+
+
+def exchange_row_halo_parts(
+    g: jnp.ndarray, band: int, axis_name: str, fill: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """exchange_row_halo WITHOUT the final concatenation: returns
+    (from_up, from_down), each (..., band, W). Feeding these as explicit
+    kernel operands (pallas_edt.fused_pass2_bytes_halo) skips the XLA
+    copy of the whole extended strip that the concat form pays — the
+    kernel assembles local + halo rows in VMEM scratch it fills anyway
+    (the same explicit-edge-operand design that removed the sharded
+    soft-mm seams, ops/pallas_soft_mm.py)."""
     n = lax.axis_size(axis_name)
     i = lax.axis_index(axis_name)
     yax = g.ndim - 2
@@ -63,8 +78,7 @@ def exchange_row_halo(g: jnp.ndarray, band: int, axis_name: str, fill: float) ->
     from_down = (
         down_parts[0] if len(down_parts) == 1 else jnp.concatenate(down_parts, axis=yax)
     )
-
-    return jnp.concatenate([from_up, g, from_down], axis=yax)
+    return from_up, from_down
 
 
 def exchange_col_halo(g: jnp.ndarray, band: int, axis_name: str, fill: float) -> jnp.ndarray:

@@ -76,6 +76,18 @@ def _local_hard_bytes_pallas(b_blk, spread, asymmetric, band, y_axis, interpret,
     # way; the extra rows are sentinel-equivalent neighbour data)
     hr = -(-(band + 8) // 8) * 8
     din, dout = pallas_edt.row_distances_u8(b_blk, band, interpret=interpret)
+    if halo_fn is exchange_row_halo and b_blk.shape[-2] % 8 == 0:
+        # seam-free form: the ppermute-received halo rows ride as explicit
+        # kernel operands; the whole-strip concat copy never happens
+        # (measured +8.9% 1-dev overhead in BENCH_r04)
+        from chaq_sdfgen_tpu.parallel.halo import exchange_row_halo_parts
+
+        up_in, dn_in = exchange_row_halo_parts(din, hr, y_axis, 255)
+        up_out, dn_out = exchange_row_halo_parts(dout, hr, y_axis, 255)
+        return pallas_edt.fused_pass2_bytes_halo(
+            din, dout, up_in, dn_in, up_out, dn_out, spread, asymmetric,
+            band, interpret=interpret,
+        )
     din_ext = halo_fn(din, hr, y_axis, 255)
     dout_ext = halo_fn(dout, hr, y_axis, 255)
     return pallas_edt.fused_pass2_bytes(
@@ -107,6 +119,15 @@ def _local_hard_bytes_pallas_2d(
     din = jax.lax.slice_in_dim(din, band, band + w_loc, axis=-1)
     dout = jax.lax.slice_in_dim(dout, band, band + w_loc, axis=-1)
     hr = -(-(band + 8) // 8) * 8
+    if halo_fn is exchange_row_halo and b_blk.shape[-2] % 8 == 0:
+        from chaq_sdfgen_tpu.parallel.halo import exchange_row_halo_parts
+
+        up_in, dn_in = exchange_row_halo_parts(din, hr, y_axis, 255)
+        up_out, dn_out = exchange_row_halo_parts(dout, hr, y_axis, 255)
+        return pallas_edt.fused_pass2_bytes_halo(
+            din, dout, up_in, dn_in, up_out, dn_out, spread, asymmetric,
+            band, interpret=interpret,
+        )
     din_ext = halo_fn(din, hr, y_axis, 255)
     dout_ext = halo_fn(dout, hr, y_axis, 255)
     return pallas_edt.fused_pass2_bytes(
@@ -186,6 +207,75 @@ def sharded_hard_sdf_bytes(
     mapped = jax.shard_map(
         fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
         check_vma=not (use_pallas or halo == "rdma"),
+    )
+    return mapped(b)
+
+
+def _local_brute_bytes_pallas(b_blk, spread, asymmetric, invert, y_axis, interpret):
+    """Per-shard BRUTE pipeline (OpenCL-kernel semantics): pass A is
+    row-local (seed distances never cross rows), a roundup(spread, 8)-row
+    halo of the four dual-polarity strips rides the ICI, and the dy-scan
+    kernel takes the halos as explicit operands (seam-free; see
+    pallas_brute.brute_sdf_bytes_pallas_halo). Reference analogue: the
+    kernel's own 2-D NDRange decomposition (opencl/main.cpp:798, 812)."""
+    from chaq_sdfgen_tpu.ops import pallas_brute as PB
+    from chaq_sdfgen_tpu.parallel.halo import exchange_row_halo_parts
+
+    h_loc = b_blk.shape[-2]
+    l1, l2, r1, r2, loc_off, wp = PB.row_seed_distances_ext(
+        b_blk, spread, interpret
+    )
+    sent = spread + 1
+    hr = -(-max(spread, 8) // 8) * 8
+    ups, dns = [], []
+    for s in (l1, l2, r1, r2):
+        real = jax.lax.slice_in_dim(s, loc_off, loc_off + h_loc, axis=0)
+        up, dn = exchange_row_halo_parts(real, hr, y_axis, sent)
+        ups.append(up)
+        dns.append(dn)
+    return PB.brute_sdf_bytes_pallas_halo(
+        b_blk, (l1, l2, r1, r2), tuple(ups), tuple(dns), loc_off, wp,
+        spread, asymmetric=asymmetric, invert=invert, interpret=interpret,
+    )
+
+
+def sharded_brute_sdf_bytes(
+    b: jnp.ndarray,
+    spread: int,
+    mesh: Mesh,
+    asymmetric: bool = False,
+    invert: bool = False,
+    y_axis: str = "y",
+    batch_axis: Optional[str] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """BRUTE (OpenCL-parity) pipeline over a row-sharded mesh — bitwise
+    identical to ops.brute.brute_sdf_bytes (and hence the reference
+    kernel, opencl/sdf.cl:193-224). b: bool (H, W) or (N, H, W); H
+    divisible by the 'y' mesh extent, per-shard height an 8-multiple;
+    spread <= 254 (the u8 strip sentinel)."""
+    if spread + 1 > 255:
+        raise ValueError(f"sharded brute needs spread <= 254, got {spread}")
+    n_y = dict(zip(mesh.axis_names, mesh.devices.shape))[y_axis]
+    h_local = b.shape[-2] // n_y
+    if h_local % 8 != 0 or h_local < 2:
+        raise ValueError(
+            f"sharded brute needs an 8-aligned per-shard height >= 8, "
+            f"got {h_local} ({b.shape[-2]} rows over {n_y} shards)"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    spec = P(y_axis, None) if batch_axis is None else P(batch_axis, y_axis, None)
+
+    fn = functools.partial(
+        _local_brute_bytes_pallas, spread=spread, asymmetric=asymmetric,
+        invert=invert, y_axis=y_axis, interpret=interpret,
+    )
+    if batch_axis is not None:
+        inner = fn
+        fn = lambda blk: jax.vmap(inner)(blk)
+    mapped = jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False
     )
     return mapped(b)
 

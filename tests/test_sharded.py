@@ -454,3 +454,73 @@ def test_sharded_soft_fused_window_4shards_test_above():
                                 interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_hard_sparse_seed_across_seam_uncovered_tail():
+    """Regression (r4 advisor): the looped pass-2 kernel built its
+    segment-min table with nseg = hext // 64 (floor). Sharded strips have
+    hext = h_local + 2*roundup(band+8, 8), generally not 64-divisible, so
+    the bottom-neighbour halo's last hext % 64 rows were uncovered; a
+    lone seed there (rows past the shard seam in a sparse region) was
+    silently dropped — the clamped seg indices overestimated the skip
+    bound. h_local=56, band=66: hext = 216, uncovered strip rows 192-215 =
+    neighbour offsets 56-79; the seed sits 56 rows below shard 0's seam,
+    inside the spread so the miss is byte-visible (distances beyond the
+    spread are clamped by the remap and would hide it)."""
+    b = np.zeros((224, 128), bool)
+    b[112, 64] = True  # 56 rows below shard 0's bottom edge (row 55)
+    mesh = _mesh1d(4)
+    got = sharded_hard_sdf_bytes(jnp.asarray(b), 64, mesh, use_pallas=True)
+    want = hard_sdf_exact_from_bool(jnp.asarray(b), 64, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestShardedBrute:
+    """Sharded BRUTE (VERDICT r4 item 3): row-sharded pass A + strip halo
+    + halo-operand dy-scan kernel, bitwise vs the single-chip pipeline
+    (and hence the reference kernel, opencl/sdf.cl:193-224)."""
+
+    def _check(self, b, spread, n, **kw):
+        from chaq_sdfgen_tpu.ops.brute import brute_sdf_bytes
+        from chaq_sdfgen_tpu.parallel.sharded import sharded_brute_sdf_bytes
+
+        mesh = _mesh1d(n)
+        got = sharded_brute_sdf_bytes(jnp.asarray(b), spread, mesh, **kw)
+        want = brute_sdf_bytes(jnp.asarray(b), spread, use_pallas=False, **kw)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    @pytest.mark.parametrize("n", [2, 4])
+    def test_bitwise_equal(self, n):
+        rng = np.random.default_rng(n)
+        b = rng.random((64, 40)) < 0.35
+        self._check(b, 9, n)
+
+    def test_spread_exceeds_shard_height(self):
+        # spread 20 > 8-row shards: multi-hop strip halos
+        rng = np.random.default_rng(5)
+        b = rng.random((64, 32)) < 0.3
+        self._check(b, 20, 8)
+
+    def test_invert_and_asymmetric(self):
+        rng = np.random.default_rng(6)
+        b = rng.random((32, 24)) < 0.4
+        self._check(b, 7, 4, invert=True, asymmetric=True)
+
+    def test_sparse_single_seed_near_seam(self):
+        b = np.zeros((64, 32), bool)
+        b[33, 10] = True  # just below the 2-shard seam
+        self._check(b, 30, 2)
+
+    def test_batched(self):
+        from chaq_sdfgen_tpu.ops.brute import brute_sdf_bytes
+        from chaq_sdfgen_tpu.parallel.sharded import sharded_brute_sdf_bytes
+
+        rng = np.random.default_rng(7)
+        b = rng.random((4, 32, 24)) < 0.35
+        needs_devices(8)
+        mesh = meshlib.make_mesh((2, 4), ("data", "y"))
+        got = sharded_brute_sdf_bytes(
+            jnp.asarray(b), 6, mesh, batch_axis="data"
+        )
+        want = brute_sdf_bytes(jnp.asarray(b), 6, use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -4,7 +4,10 @@ Short flags mirror chaq_sdfgen (openmp/sdfgen.c:32-49): -i/-o/-s/-q/-f,
 -a/-l/-n (combinable in the C version; argparse accepts -al etc. via
 standard short-option clustering). Long options mirror
 chaq_sdfgen_opencl (opencl/main.cpp:362-444): --list-devices,
---log-level, --time, plus TPU-native extensions: --algorithm, --soft-*.
+--log-level, --time, plus TPU-native extensions: --algorithm (exact/
+brute/jfa), --soft / --soft-tau / --soft-temperature / --soft-field
+(differentiable pipeline), --shard-y / --shard-x / --halo-impl
+(ShardingConfig device-mesh runs).
 
 Usage:  python -m chaq_sdfgen_tpu -i in.png -o out.png -s 100 -al
 """
@@ -69,6 +72,43 @@ def build_parser() -> argparse.ArgumentParser:
                         "pipeline in two timing loops (~40 extra iterations) "
                         "to cancel the constant dispatch overhead — a --time'd "
                         "run costs noticeably more than the conversion itself")
+    p.add_argument("--soft", action="store_true",
+                   help="differentiable soft pipeline: sigmoid threshold + "
+                        "soft-min EDT (TPU-native extension; no reference "
+                        "analogue). Output is the clamped soft byte map; "
+                        "--soft-field additionally dumps the raw float "
+                        "signed field")
+    p.add_argument("--soft-tau", type=float, default=1.0,
+                   help="soft threshold temperature in pixel units "
+                        "(default: 1.0)")
+    p.add_argument("--soft-temperature", type=float, default=0.5,
+                   help="soft-min temperature T in squared-pixel units "
+                        "(default: 0.5)")
+    p.add_argument("--soft-eps", type=float, default=1e-6,
+                   help="sqrt smoothing epsilon (default: 1e-6)")
+    p.add_argument("--soft-clamp", default="hard",
+                   choices=["hard", "tanh", "none"],
+                   help="output clamping of the soft remap (default: hard)")
+    p.add_argument("--soft-field", default=None, metavar="FILE.npy",
+                   help="with --soft: also save the raw float32 signed "
+                        "field as .npy")
+    p.add_argument("--gray-range", nargs=2, type=float, default=(0.0, 255.0),
+                   metavar=("LO", "HI"),
+                   help="declared input-value bound for the soft path "
+                        "(default: 0 255 — always valid for u8 images; "
+                        "unlocks the fused MXU kernels). Pass e.g. "
+                        "'--gray-range -1e9 1e9' to force the adaptive "
+                        "unbounded-range kernels")
+    p.add_argument("--shard-y", type=int, default=1, metavar="N",
+                   help="shard image rows over N mesh devices "
+                        "(ShardingConfig; 1 = unsharded)")
+    p.add_argument("--shard-x", type=int, default=1, metavar="N",
+                   help="shard image columns over N mesh devices "
+                        "(2-D ('y','x') tile mesh)")
+    p.add_argument("--halo-impl", default="ppermute",
+                   choices=["ppermute", "rdma"],
+                   help="halo-exchange implementation for sharded runs "
+                        "(default: ppermute)")
     p.add_argument("--no-jit-cache", action="store_true", help=argparse.SUPPRESS)
     return p
 
@@ -156,7 +196,9 @@ def main(argv: Optional[list] = None) -> int:
         print("No output file specified.", file=sys.stderr)
         return 1
 
-    from chaq_sdfgen_tpu.config import Algorithm, Channel, SdfConfig
+    from chaq_sdfgen_tpu.config import (
+        Algorithm, Channel, SdfConfig, ShardingConfig, SoftConfig,
+    )
     from chaq_sdfgen_tpu.models.sdf_model import SDFGenerator
     from chaq_sdfgen_tpu.utils import imageio as iio
 
@@ -187,13 +229,49 @@ def main(argv: Optional[list] = None) -> int:
         invert=args.invert,
         algorithm=Algorithm(args.algorithm),
     )
-    gen = SDFGenerator(cfg)
+    soft_cfg = None
+    if args.soft:
+        soft_cfg = SoftConfig(
+            tau=args.soft_tau,
+            temperature=args.soft_temperature,
+            eps=args.soft_eps,
+            clamp=args.soft_clamp,
+            gray_range=tuple(args.gray_range),
+        )
+    elif args.soft_field is not None:
+        print("--soft-field requires --soft.", file=sys.stderr)
+        return 1
+    shard_cfg = None
+    if args.shard_y > 1 or args.shard_x > 1 or args.halo_impl != "ppermute":
+        if args.shard_x > 1:
+            shard_cfg = ShardingConfig(
+                mesh_shape=(args.shard_y, args.shard_x),
+                axis_names=("y", "x"),
+                halo_impl=args.halo_impl,
+            )
+        else:
+            shard_cfg = ShardingConfig(
+                mesh_shape=(args.shard_y,), axis_names=("y",),
+                halo_impl=args.halo_impl,
+            )
+        n_dev = len(jax.devices(platform) if platform else jax.devices())
+        if args.shard_y * args.shard_x > n_dev:
+            print(
+                f"--shard-y/--shard-x need {args.shard_y * args.shard_x} "
+                f"devices, have {n_dev}.",
+                file=sys.stderr,
+            )
+            return 1
+    gen = SDFGenerator(cfg, soft=soft_cfg, sharding=shard_cfg)
 
     if device is not None:
         img2ch = jax.device_put(jax.numpy.asarray(img2ch), device)
     t0 = time.perf_counter()
     out = np.asarray(jax.block_until_ready(gen.generate(img2ch)))
     dt = time.perf_counter() - t0
+    if args.soft_field is not None:
+        np.save(args.soft_field, np.asarray(gen.generate_field(img2ch)))
+        log.info("saved raw soft field to %s", args.soft_field)
     if args.time_kernel:
         # device-compute time only (amortized in-graph loop), matching the
         # reference's kernel-event profiling rather than wall clock — see

@@ -79,12 +79,18 @@ class SdfConfig:
 class SoftConfig:
     """Differentiable-path configuration (no reference analogue; BASELINE
     config 4). The hard threshold img > 127 becomes sigmoid((img-127.5)/tau)
-    and the hard min over parabolas becomes a -T*logsumexp soft-min."""
+    and the hard min over parabolas becomes a -T*logsumexp soft-min.
+
+    gray_range: declared (lo, hi) bound on the tested pixel values. CLI /
+    atlas inputs are u8 so (0, 255) is always valid there and unlocks the
+    fused-mm MXU kernels (ops/soft_mxu.py); pass None for unbounded
+    (trained-image) inputs to keep the adaptive kernels."""
 
     tau: float = 1.0          # threshold temperature (pixel units)
     temperature: float = 0.5  # soft-min temperature T (squared-pixel units)
     eps: float = 1e-6         # sqrt smoothing epsilon
     clamp: str = "hard"       # "hard" | "tanh" | "none" — output clamping
+    gray_range: Optional[Tuple[float, float]] = (0.0, 255.0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,3 +107,43 @@ class ShardingConfig:
     # "ppermute" (XLA collective, the portable default) or "rdma"
     # (hand-rolled Pallas remote-DMA ring, parallel/pallas_halo.py)
     halo_impl: str = "ppermute"
+
+    def __post_init__(self):
+        if len(self.mesh_shape) != len(self.axis_names):
+            raise ValueError(
+                f"mesh_shape {self.mesh_shape} and axis_names "
+                f"{self.axis_names} must have equal length"
+            )
+        if self.halo_impl not in ("ppermute", "rdma"):
+            raise ValueError(f"unknown halo_impl {self.halo_impl!r}")
+        if self.data_axis is not None and self.data_axis not in self.axis_names:
+            raise ValueError(
+                f"data_axis {self.data_axis!r} not in axis_names {self.axis_names}"
+            )
+
+    @property
+    def y_axis(self) -> str:
+        """The row-sharding axis: the first non-data axis (every pipeline
+        shards image rows; 'y' by convention)."""
+        for n in self.axis_names:
+            if n != self.data_axis:
+                return n
+        raise ValueError("ShardingConfig has no image axis")
+
+    @property
+    def x_axis(self) -> Optional[str]:
+        """The column-sharding axis (2-D tile meshes): the second non-data
+        axis if present and its extent exceeds 1."""
+        img_axes = [n for n in self.axis_names if n != self.data_axis]
+        if len(img_axes) >= 2:
+            ext = dict(zip(self.axis_names, self.mesh_shape))[img_axes[1]]
+            if ext > 1:
+                return img_axes[1]
+        return None
+
+    def build_mesh(self):
+        """Materialize the jax.sharding.Mesh this config describes (the
+        consumer entry point: SDFGenerator / atlas_sdf / CLI --shard-*)."""
+        from chaq_sdfgen_tpu.parallel import mesh as meshlib
+
+        return meshlib.make_mesh(self.mesh_shape, self.axis_names)

@@ -138,20 +138,94 @@ class SDFGenerator:
 
     The TPU analogue of the reference CLI binaries: construct once with an
     SdfConfig, call .generate(image_2ch) for uint8 SDF bitmaps.
-    """
 
-    def __init__(self, config: SdfConfig = SdfConfig()):
+    soft: optional SoftConfig — generate() runs the differentiable
+    pipeline instead and returns the clamped soft byte map (truncated to
+    uint8 like the hard remap, openmp/sdfgen.c:94); generate_field()
+    exposes the raw float32 signed field.
+
+    sharding: optional ShardingConfig — pipelines run over the described
+    device mesh (sharded_hard_sdf_bytes / sharded_soft_sdf_field /
+    sharded_jfa; config/flag layer per SURVEY §5). The mesh is built once
+    at construction."""
+
+    def __init__(
+        self,
+        config: SdfConfig = SdfConfig(),
+        soft=None,
+        sharding=None,
+    ):
         self.config = config
+        self.soft = soft
+        self.sharding = sharding
+        self._mesh = sharding.build_mesh() if sharding is not None else None
         self._jitted = {}
 
     def generate(self, img2ch) -> jnp.ndarray:
         img2ch = jnp.asarray(img2ch)
-        key = (self.config, img2ch.shape, _array_platform(img2ch))
+        key = (self.config, self.soft, img2ch.shape, _array_platform(img2ch))
         fn = self._jitted.get(key)
         if fn is None:
             fn = jax.jit(self._pipeline_fn(platform=_array_platform(img2ch)))
             self._jitted[key] = fn
         return fn(img2ch)
+
+    def generate_field(self, img2ch) -> jnp.ndarray:
+        """Raw float32 signed soft field (pre-remap) — the differentiable
+        product. Requires a SoftConfig."""
+        if self.soft is None:
+            raise ValueError("generate_field needs SDFGenerator(soft=SoftConfig())")
+        img2ch = jnp.asarray(img2ch)
+        key = ("field", self.config, self.soft, img2ch.shape, _array_platform(img2ch))
+        fn = self._jitted.get(key)
+        if fn is None:
+            fn = jax.jit(self._soft_field_fn())
+            self._jitted[key] = fn
+        return fn(img2ch)
+
+    def _soft_field_fn(self):
+        """(H, W, 2) u8-range image -> float32 signed soft field, routed
+        through the sharded pipeline when a ShardingConfig is present."""
+        cfg, soft, sh = self.config, self.soft, self.sharding
+
+        def field(img2ch):
+            gray = img2ch[..., cfg.channel_offset].astype(jnp.float32)
+            kw = dict(
+                tau=soft.tau,
+                temperature=soft.temperature,
+                eps=soft.eps,
+                test_above=not cfg.invert,
+                band=cfg.effective_band,
+                gray_range=soft.gray_range,
+            )
+            if self._mesh is not None:
+                from chaq_sdfgen_tpu.parallel.sharded import sharded_soft_sdf_field
+
+                return sharded_soft_sdf_field(
+                    gray, cfg.spread, self._mesh,
+                    y_axis=sh.y_axis, x_axis=sh.x_axis,
+                    batch_axis=sh.data_axis if gray.ndim > 2 else None,
+                    halo=sh.halo_impl, **kw,
+                )
+            from chaq_sdfgen_tpu.ops import softsdf
+
+            return softsdf.soft_sdf_field(gray, cfg.spread, **kw)
+
+        return field
+
+    def _soft_pipeline_fn(self):
+        cfg, soft = self.config, self.soft
+        field = self._soft_field_fn()
+
+        def pipeline(img2ch):
+            from chaq_sdfgen_tpu.ops.merge import soft_remap
+
+            s = field(img2ch)
+            v = soft_remap(s, cfg.spread, cfg.asymmetric, clamp=soft.clamp)
+            # truncating u8 cast, matching the hard remap (sdfgen.c:94)
+            return jnp.clip(v, 0.0, 255.0).astype(jnp.uint8)
+
+        return pipeline
 
     def _pipeline_fn(self, platform: Optional[str] = None):
         """The raw (unjitted) pipeline for the current config.
@@ -163,6 +237,10 @@ class SDFGenerator:
         cfg = self.config
         if platform is None:
             platform = jax.default_backend()
+        if self.soft is not None:
+            return self._soft_pipeline_fn()
+        if self._mesh is not None:
+            return self._sharded_pipeline_fn()
         if cfg.algorithm == Algorithm.EXACT:
             return functools.partial(
                 hard_sdf_exact,
@@ -191,6 +269,46 @@ class SDFGenerator:
                 plus_one=cfg.jfa_plus_one,
             )
         raise ValueError(f"unknown algorithm {cfg.algorithm}")  # pragma: no cover
+
+    def _sharded_pipeline_fn(self):
+        """Hard pipelines over the ShardingConfig's mesh (TPU-native
+        scale-out of the reference's single-device decompositions,
+        SURVEY §2.4)."""
+        cfg, sh, mesh = self.config, self.sharding, self._mesh
+
+        def pipeline(img2ch):
+            from chaq_sdfgen_tpu.parallel import sharded as S
+
+            b = threshold.hard_threshold(
+                img2ch, channel=cfg.channel_offset, test_above=not cfg.invert
+            )
+            if cfg.algorithm == Algorithm.EXACT:
+                return S.sharded_hard_sdf_bytes(
+                    b, cfg.spread, mesh, asymmetric=cfg.asymmetric,
+                    band=cfg.effective_band, y_axis=sh.y_axis,
+                    x_axis=sh.x_axis, halo=sh.halo_impl,
+                    batch_axis=sh.data_axis if b.ndim > 2 else None,
+                )
+            if cfg.algorithm == Algorithm.JFA:
+                d_in = S.sharded_jfa_distance(
+                    b, mesh, plus_one=cfg.jfa_plus_one, y_axis=sh.y_axis
+                )
+                d_out = S.sharded_jfa_distance(
+                    jnp.logical_not(b), mesh, plus_one=cfg.jfa_plus_one,
+                    y_axis=sh.y_axis,
+                )
+                vals = merge.signed_merge(d_out, d_in)
+                return merge.remap_to_byte(vals, cfg.spread, cfg.asymmetric)
+            if cfg.algorithm == Algorithm.BRUTE:
+                bb = threshold.hard_threshold(img2ch, channel=cfg.channel_offset,
+                                              test_above=True)
+                return S.sharded_brute_sdf_bytes(
+                    bb, cfg.spread, mesh, asymmetric=cfg.asymmetric,
+                    invert=cfg.invert, y_axis=sh.y_axis,
+                )
+            raise ValueError(f"unknown algorithm {cfg.algorithm}")  # pragma: no cover
+
+        return pipeline
 
     def kernel_time(self, img2ch, k1: int = 4, k2: int = 36) -> float:
         """Device-compute seconds per pipeline run, via the two-K slope.

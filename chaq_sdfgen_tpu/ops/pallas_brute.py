@@ -312,10 +312,27 @@ def _brute_kernel(
     scr_refs_and_scalars,
     *, spread, h, asymmetric, invert, row_off,
 ):
+    hext = l1t.shape[0]
+    regions_t = [(l1t, l2t, r1t, r2t, 0, 0, hext)]
+    regions_f = [(l1f, l2f, r1f, r2f, 0, 0, hext)]
+    _brute_kernel_impl(
+        b_ref, regions_t, regions_f, out_ref, scr_refs_and_scalars,
+        spread=spread, h=h, asymmetric=asymmetric, invert=invert,
+        row_off=row_off, hext=hext,
+    )
+
+
+def _brute_kernel_impl(
+    b_ref, regions_t, regions_f, out_ref, scr_refs_and_scalars,
+    *, spread, h, asymmetric, invert, row_off, hext,
+):
+    """Shared dy-scan body. regions_t/_f: per polarity, a list of
+    (l1, l2, r1, r2, src_off, dst_off, nrows) fill regions — one
+    whole-strip region for the single-chip form; local + explicit
+    up/down halo operands for the sharded seam-free form (the
+    fused_pass2_bytes_halo design). All offsets are 8-aligned."""
     (sv1t, sv2t, sv3t, sv1f, sv2f, sv3f,
      acc_ref, dtmp_ref, seg_ref, sm_ref) = scr_refs_and_scalars
-    hext = l1t.shape[0]
-    tn = out_ref.shape[1]
     sent = spread + 1
     nseg = (hext + _SEG - 1) // _SEG
 
@@ -332,21 +349,22 @@ def _brute_kernel(
     # three cases l1,r1 != a / exactly one == a / both == a reduce to the
     # merge values above).
     quads = (
-        (sv1t, sv2t, sv3t, l1t, l2t, r1t, r2t),
-        (sv1f, sv2f, sv3f, l1f, l2f, r1f, r2f),
+        (sv1t, sv2t, sv3t, regions_t),
+        (sv1f, sv2f, sv3f, regions_f),
     )
-    for v1d, v2d, v3d, l1s, l2s, r1s, r2s in quads:
-        for r in range(0, hext, 512):
-            rc = min(512, hext - r)
-            a1 = l1s[r : r + rc, :].astype(jnp.int32)
-            a2 = l2s[r : r + rc, :].astype(jnp.int32)
-            b1 = r1s[r : r + rc, :].astype(jnp.int32)
-            b2 = r2s[r : r + rc, :].astype(jnp.int32)
-            v1d[r : r + rc, :] = jnp.minimum(a1, b1).astype(jnp.float32)
-            hi1 = jnp.maximum(a1, b1)
-            lo2 = jnp.minimum(a2, b2)
-            v2d[r : r + rc, :] = jnp.minimum(hi1, lo2).astype(jnp.float32)
-            v3d[r : r + rc, :] = jnp.maximum(hi1, lo2).astype(jnp.float32)
+    for v1d, v2d, v3d, regions in quads:
+        for l1s, l2s, r1s, r2s, src0, dst0, nrows in regions:
+            for r in range(0, nrows, 512):
+                rc = min(512, nrows - r)
+                a1 = l1s[src0 + r : src0 + r + rc, :].astype(jnp.int32)
+                a2 = l2s[src0 + r : src0 + r + rc, :].astype(jnp.int32)
+                b1 = r1s[src0 + r : src0 + r + rc, :].astype(jnp.int32)
+                b2 = r2s[src0 + r : src0 + r + rc, :].astype(jnp.int32)
+                v1d[dst0 + r : dst0 + r + rc, :] = jnp.minimum(a1, b1).astype(jnp.float32)
+                hi1 = jnp.maximum(a1, b1)
+                lo2 = jnp.minimum(a2, b2)
+                v2d[dst0 + r : dst0 + r + rc, :] = jnp.minimum(hi1, lo2).astype(jnp.float32)
+                v3d[dst0 + r : dst0 + r + rc, :] = jnp.maximum(hi1, lo2).astype(jnp.float32)
 
     # skip-bound tables: per-segment minima of v1, one per polarity
     for s in range(nseg):
@@ -518,3 +536,106 @@ def _brute_kernel_entry(
 
 # in_specs order note: the kernel's (l1t..r2t, l1f..r2f) args map to the
 # dual-polarity strips passed twice with column-shifted index maps.
+
+
+def _brute_kernel_halo_entry(
+    b_ref,
+    l1t, l2t, r1t, r2t, l1f, l2f, r1f, r2f,                      # local strips
+    ul1t, ul2t, ur1t, ur2t, ul1f, ul2f, ur1f, ur2f,              # up halos
+    dl1t, dl2t, dr1t, dr2t, dl1f, dl2f, dr1f, dr2f,              # down halos
+    out_ref, *scr, spread, h, asymmetric, invert, loc_off, hr,
+):
+    """Sharded seam-free brute kernel: local pass-A strips plus explicit
+    (hr, TN) up/down halo operands (ppermute-received neighbour edge rows,
+    parallel/halo.exchange_row_halo_parts) — assembled directly in the
+    sv* scratch, no XLA concat of the extended strips. loc_off: strip row
+    of local image row 0 inside the local strip refs."""
+    h_loc = h
+    hext = h_loc + 2 * hr
+    regions_t = [
+        (ul1t, ul2t, ur1t, ur2t, 0, 0, hr),
+        (l1t, l2t, r1t, r2t, loc_off, hr, h_loc),
+        (dl1t, dl2t, dr1t, dr2t, 0, hr + h_loc, hr),
+    ]
+    regions_f = [
+        (ul1f, ul2f, ur1f, ur2f, 0, 0, hr),
+        (l1f, l2f, r1f, r2f, loc_off, hr, h_loc),
+        (dl1f, dl2f, dr1f, dr2f, 0, hr + h_loc, hr),
+    ]
+    _brute_kernel_impl(
+        b_ref, regions_t, regions_f, out_ref, scr,
+        spread=spread, h=h, asymmetric=asymmetric, invert=invert,
+        row_off=hr, hext=hext,
+    )
+
+
+def brute_sdf_bytes_pallas_halo(
+    b_blk: jnp.ndarray,
+    strips,           # (l1, l2, r1, r2) dual-polarity local strips
+    halos_up,         # (l1, l2, r1, r2) up halos, each (hr, 2*wp)
+    halos_dn,         # (l1, l2, r1, r2) down halos
+    loc_off: int,
+    wp: int,
+    spread: int,
+    asymmetric: bool = False,
+    invert: bool = False,
+    interpret: bool | None = None,
+    tn: int = 128,
+) -> jnp.ndarray:
+    """Sharded BRUTE pass 2 with halo operands. b_blk: (H_loc, W) bool
+    (H_loc an 8-multiple); strips from row_seed_distances_ext on the
+    local block; halos from exchange_row_halo_parts over the strips' real
+    rows with hr = roundup(spread, 8) rows and `spread + 1` fill.
+    Byte-identical to the single-chip kernel: the assembled scratch rows
+    hold exactly the values the whole-image strip holds there (pass A is
+    row-local; edge shards read the sentinel like the single-chip
+    boundary blocks). Reference analogue: the 2-D NDRange decomposition,
+    opencl/main.cpp:798."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    h_loc, w = b_blk.shape
+    hr = halos_up[0].shape[0]
+    if h_loc % 8 != 0 or hr % 8 != 0 or hr < spread:
+        raise ValueError(
+            f"brute halo kernel needs 8-aligned H_loc ({h_loc}) and "
+            f"hr ({hr}) >= spread ({spread})"
+        )
+    hext = h_loc + 2 * hr
+    hstrip = strips[0].shape[0]
+    nwt = wp // tn
+    b_p = jnp.pad(b_blk.astype(jnp.uint8), ((0, 0), (0, wp - w)))
+
+    nseg = (hext + _SEG - 1) // _SEG
+    kern = functools.partial(
+        _brute_kernel_halo_entry, spread=spread, h=h_loc,
+        asymmetric=asymmetric, invert=invert, loc_off=loc_off, hr=hr,
+    )
+    spec_lt = pl.BlockSpec((hstrip, tn), lambda j: (0, j), memory_space=pltpu.VMEM)
+    spec_lf = pl.BlockSpec((hstrip, tn), lambda j: (0, j + nwt), memory_space=pltpu.VMEM)
+    spec_ht = pl.BlockSpec((hr, tn), lambda j: (0, j), memory_space=pltpu.VMEM)
+    spec_hf = pl.BlockSpec((hr, tn), lambda j: (0, j + nwt), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(nwt,),
+        in_specs=[pl.BlockSpec((h_loc, tn), lambda j: (0, j), memory_space=pltpu.VMEM)]
+        + [spec_lt] * 4 + [spec_lf] * 4
+        + [spec_ht] * 4 + [spec_hf] * 4
+        + [spec_ht] * 4 + [spec_hf] * 4,
+        out_specs=pl.BlockSpec((h_loc, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h_loc, wp), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((hext, tn), jnp.float32) for _ in range(6)]
+        + [
+            pltpu.VMEM((_CHUNK, tn), jnp.float32),
+            pltpu.VMEM((_CHUNK, tn), jnp.float32),
+            pltpu.SMEM((2 * nseg,), jnp.float32),
+            pltpu.SMEM((2,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        b_p,
+        *strips, *strips,
+        *halos_up, *halos_up,
+        *halos_dn, *halos_dn,
+    )
+    return out[:, :w]

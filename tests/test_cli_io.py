@@ -147,3 +147,74 @@ def test_cli_two_channel_output(tmp_path):
     assert im.mode == "LA"
     arr = np.asarray(im)
     assert (arr[..., 1] == 255).all()
+
+
+def test_cli_soft_roundtrip(tmp_path):
+    """--soft (VERDICT r4 item 2): the differentiable pipeline is flag-
+    reachable; output is the clamped soft byte map, converging to the
+    hard map as tau -> 0 with T/tau -> inf (the indicator heights cap
+    soft distances at sqrt(T * |logit|_max), so tau must shrink faster
+    than T for the cap to clear the spread)."""
+    from PIL import Image as PILImage
+
+    img = np.zeros((64, 64), np.uint8)
+    img[20:44, 20:44] = 255
+    inp = tmp_path / "in.png"
+    PILImage.fromarray(img).save(inp)
+    out = tmp_path / "soft.png"
+    rc = main([
+        "-i", str(inp), "-o", str(out), "-s", "12", "-l", "--soft",
+        "--soft-tau", "0.01", "--soft-temperature", "0.1",
+    ])
+    assert rc == 0
+    soft = np.asarray(Image.open(out)).astype(int)
+    hard_out = tmp_path / "hard.png"
+    assert main(["-i", str(inp), "-o", str(hard_out), "-s", "12", "-l"]) == 0
+    hard = np.asarray(Image.open(hard_out)).astype(int)
+    assert soft.shape == hard.shape
+    # near the hard limit the two byte maps agree almost everywhere
+    assert (np.abs(soft - hard) <= 2).mean() > 0.97
+
+
+def test_cli_soft_field_dump(tmp_path):
+    from PIL import Image as PILImage
+
+    img = np.zeros((64, 64), np.uint8)
+    img[20:44, 20:44] = 255
+    inp = tmp_path / "in.png"
+    PILImage.fromarray(img).save(inp)
+    out = tmp_path / "soft.png"
+    field_path = tmp_path / "field.npy"
+    rc = main([
+        "-i", str(inp), "-o", str(out), "-s", "8", "-l", "--soft",
+        "--soft-field", str(field_path),
+    ])
+    assert rc == 0
+    field = np.load(field_path)
+    assert field.shape == img.shape
+    assert field.dtype == np.float32
+    assert np.isfinite(field).all()
+    # signed: positive at shape (TRUE) pixels, negative outside
+    assert (field > 0).any() and (field < 0).any()
+
+
+def test_cli_soft_field_requires_soft(tmp_path):
+    rc = main(["-i", SAMPLE, "-o", str(tmp_path / "x.png"),
+               "--soft-field", str(tmp_path / "f.npy")])
+    assert rc == 1
+
+
+def test_cli_sharded_run_matches_unsharded(tmp_path):
+    """--shard-y routes through ShardingConfig -> sharded_hard_sdf_bytes;
+    bytes identical to the unsharded run."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    out_s = tmp_path / "sharded.png"
+    # sample is 200x200; 2-way row sharding -> 100-row shards
+    rc = main(["-i", SAMPLE, "-o", str(out_s), "-s", "100", "-al", "--shard-y", "2"])
+    assert rc == 0
+    got = np.asarray(Image.open(out_s))
+    want = np.asarray(Image.open(GOLDEN))
+    np.testing.assert_array_equal(got, want)

@@ -84,3 +84,67 @@ def test_dryrun_multichip_after_backend_preinit():
     )
     assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
     assert "dryrun_multichip(8)" in r.stdout
+
+
+def test_sharding_config_validation_and_mesh():
+    import pytest as _pytest
+
+    from chaq_sdfgen_tpu.config import ShardingConfig
+
+    with _pytest.raises(ValueError):
+        ShardingConfig(mesh_shape=(2, 2), axis_names=("y",))
+    with _pytest.raises(ValueError):
+        ShardingConfig(halo_impl="nccl")
+    with _pytest.raises(ValueError):
+        ShardingConfig(data_axis="data")
+    sc = ShardingConfig(mesh_shape=(2, 2), axis_names=("data", "y"),
+                        data_axis="data")
+    assert sc.y_axis == "y" and sc.x_axis is None
+    sc2 = ShardingConfig(mesh_shape=(2, 4), axis_names=("y", "x"))
+    assert sc2.y_axis == "y" and sc2.x_axis == "x"
+
+
+def test_generator_sharded_exact_matches_unsharded():
+    import jax
+
+    if len(jax.devices()) < 4:
+        import pytest as _pytest
+
+        _pytest.skip("needs 4 devices")
+    import numpy as np
+
+    from chaq_sdfgen_tpu.config import SdfConfig, ShardingConfig
+    from chaq_sdfgen_tpu.models.sdf_model import SDFGenerator
+
+    rng = np.random.default_rng(0)
+    img = np.zeros((64, 48, 2), np.uint8)
+    img[..., 1] = np.where(rng.random((64, 48)) < 0.3, 255, 0)
+    cfg = SdfConfig(spread=9)
+    want = np.asarray(SDFGenerator(cfg).generate(img))
+    sc = ShardingConfig(mesh_shape=(4,), axis_names=("y",))
+    got = np.asarray(SDFGenerator(cfg, sharding=sc).generate(img))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_generator_sharded_soft_field():
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest as _pytest
+
+        _pytest.skip("needs 2 devices")
+    import numpy as np
+
+    from chaq_sdfgen_tpu.config import SdfConfig, ShardingConfig, SoftConfig
+    from chaq_sdfgen_tpu.models.sdf_model import SDFGenerator
+
+    img = np.zeros((32, 32, 2), np.uint8)
+    img[10:22, 10:22, 1] = 255
+    cfg = SdfConfig(spread=6)
+    soft = SoftConfig()
+    want = np.asarray(SDFGenerator(cfg, soft=soft).generate_field(img))
+    sc = ShardingConfig(mesh_shape=(2,), axis_names=("y",))
+    got = np.asarray(
+        SDFGenerator(cfg, soft=soft, sharding=sc).generate_field(img)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

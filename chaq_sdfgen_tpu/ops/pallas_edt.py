@@ -156,8 +156,19 @@ def _row_pass_body(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band, h_mask
         dout_ref[:, c : c + cc] = d[:, tm : 2 * tm].T.astype(out_dtype)
 
 
-def _row_pass_block_kernel(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band):
-    _row_pass_body(b_ref, din_ref, dout_ref, dscr, wp=wp, w_actual=w_actual, band=band)
+def _row_pass_block_kernel(
+    b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, h_real, band
+):
+    # h_mask: beyond-image pad rows must read saturated for BOTH fields
+    # (the u8 zero-pad would otherwise seed the FALSE field there —
+    # visible since out_rows exposes rows past H to the halo-operand
+    # pass 2; harmless before because callers sliced [:h])
+    i = pl.program_id(0)
+    h_mask = jnp.int32(h_real) - i * jnp.int32(b_ref.shape[0])
+    _row_pass_body(
+        b_ref, din_ref, dout_ref, dscr, wp=wp, w_actual=w_actual, band=band,
+        h_mask=h_mask,
+    )
 
 
 def _row_pass_block_kernel_ext(
@@ -565,7 +576,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def row_distances_u8(
-    b: jnp.ndarray, band: int, interpret: bool | None = None
+    b: jnp.ndarray, band: int, interpret: bool | None = None,
+    out_rows: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pass 1 only: (H, W) bool -> (din, dout) uint8 (H, W) per-row
     nearest-seed / nearest-non-seed distances, clipped at min(band+1, 255).
@@ -573,7 +585,11 @@ def row_distances_u8(
     Exposed separately so sharded pipelines can run pass 1 locally per
     shard (rows never cross shards, like the omp-for axis of
     openmp/df.c:113-117), exchange a band-row halo of the u8 strips over
-    ICI, and feed fused_pass2_bytes the pre-extended strips."""
+    ICI, and feed fused_pass2_bytes the pre-extended strips.
+
+    out_rows: return that many rows instead of H (out_rows <= the 128-
+    aligned compute height; rows beyond H hold the saturation sentinel —
+    the 8-aligned padding fused_pass2_bytes_halo consumes)."""
     if interpret is None:
         interpret = not _is_tpu()
     h, w = b.shape
@@ -582,7 +598,7 @@ def row_distances_u8(
     hpa = _round_up(h, tm)
     b_p = jnp.pad(b.astype(jnp.uint8), ((0, hpa - h), (0, wp - w)))
     kern_a = functools.partial(
-        _row_pass_block_kernel, wp=wp, w_actual=w, band=band
+        _row_pass_block_kernel, wp=wp, w_actual=w, h_real=h, band=band
     )
     din, dout = pl.pallas_call(
         kern_a,
@@ -600,7 +616,10 @@ def row_distances_u8(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(b_p)
-    return din[:h, :w], dout[:h, :w]
+    hr = h if out_rows is None else out_rows
+    if hr > hpa:
+        raise ValueError(f"row_distances_u8: out_rows {hr} > padded height {hpa}")
+    return din[:hr, :w], dout[:hr, :w]
 
 
 def row_distances_u8_ext(
@@ -921,6 +940,21 @@ def fused_sdf_bytes(
     # actual distance scale rather than O(band)
     dtype = jnp.uint8 if band + 1 <= 255 else jnp.uint16
     hp = _round_up(h, 8)
+    if adaptive and band + 1 <= 255:
+        # halo-operand form with constant sentinel halos: the pass-2
+        # kernel reads roundup(band+8, 8) sentinel rows per side instead
+        # of the ext strips' ceil(band/128)*128, and pass 1 skips writing
+        # the sentinel blocks entirely. Byte-identical (same assembled
+        # scratch semantics); measured 1.94 -> 1.87 ms at 4K -s 64 via
+        # the sharded 1-dev bench row that first used this layout.
+        hr = -(-(band + 8) // 8) * 8
+        din, dout = row_distances_u8(b, band, interpret=interpret, out_rows=hp)
+        sent_halo = jnp.full((hr, din.shape[1]), 255, jnp.uint8)
+        out = fused_pass2_bytes_halo(
+            din, dout, sent_halo, sent_halo, sent_halo, sent_halo,
+            spread, asymmetric, band, interpret=interpret,
+        )
+        return out[:h, :w]
     # +8 headroom (mirrors fused_sdf_bytes_dynamic): when band is a
     # multiple of 128, row_off == band and the looped kernel's last-group
     # reads would fall outside the strip; pass 2 re-clips to band+1 so
@@ -980,6 +1014,16 @@ def fused_sdf_bytes_dynamic(
         )
     hp = _round_up(h, 8)
     dtype = jnp.uint8 if band + 1 <= 255 else jnp.uint16
+    if adaptive and band + 1 <= 255:
+        # constant-sentinel halo-operand form (see fused_sdf_bytes)
+        hr = -(-(band + 8) // 8) * 8
+        din, dout = row_distances_u8(b, band, interpret=interpret, out_rows=hp)
+        sent_halo = jnp.full((hr, din.shape[1]), 255, jnp.uint8)
+        out = fused_pass2_bytes_halo(
+            din, dout, sent_halo, sent_halo, sent_halo, sent_halo,
+            spread, asymmetric, band, interpret=interpret,
+        )
+        return out[:h, :w]
     band_req = band + 8 if adaptive else band
     din_f, dout_f, row_off = row_distances_u8_ext(
         b, band_req, interpret=interpret, dtype=dtype
@@ -1016,11 +1060,31 @@ _DCHUNK = 256  # output rows per chunk (coarser than the banded kernel:
 # the looped groups amortize better over taller chunks)
 
 
+def _dist_sat(n: int) -> int | None:
+    """Smallest saturation tier for an image whose longest side is n.
+
+    Requirements (the exactness argument): (a) sat > sqrt(2)*(n-1) so a
+    no-seed row's sentinel can never beat a real candidate, (b)
+    sat^2 + (n-1)^2 < 2^31 so d^2 accumulates exactly in i32, (c)
+    sat <= 65535 (u16 strips). 8191 keeps the <=4096 cache keys stable;
+    16383 serves <=8192; 23170 serves <=16384 (23170^2 + 16383^2 =
+    8.05e8 < 2^31, and 23170^2 > 2*16383^2 by a 43k margin). Beyond
+    16384 px per side i32 overflows -> None (JFA fallback)."""
+    if n <= 4096:
+        return _DSAT
+    if n <= 8192:
+        return 16383
+    if n <= 16384:
+        return 23170
+    return None
+
+
 def _dist_kernel(d_ref, out_ref, g_ref, acc_ref, smin_ref, seg_ref, *,
-                 hext, h, off, band):
+                 hext, h, off, band, sat=_DSAT):
     """d_ref: (hext, TN) u16 row-distance strip (one polarity, sentinel-
-    extended, clipped at _DSAT); out: (h, TN) f32 exact distances."""
-    satsq = jnp.int32(_DSAT * _DSAT)
+    extended, clipped at ``sat`` — see _dist_sat); out: (h, TN) f32 exact
+    distances."""
+    satsq = jnp.int32(sat * sat)
     # ceil + clamped fill slice: keeps the skip bound conservative even
     # if strip geometry stops being a 64-row multiple (see
     # _fused_kernel_looped's seam note)
@@ -1107,8 +1171,10 @@ def exact_distance_field(
 ) -> jnp.ndarray:
     """(H, W) bool -> (H, W) f32 EXACT full-range distance to the nearest
     True pixel (32768.0 where none exists) — jfa_distance's semantics
-    without its rare misses, measured 4.6x faster at 4K dense. H, W <= 4096
-    (the _DSAT exactness argument; fall back to jfa beyond)."""
+    without its rare misses, measured 4.6x faster at 4K dense. Images up
+    to 16384 px per side run exactly (saturation tier per _dist_sat);
+    larger inputs dispatch to jfa_distance automatically (i32 d^2 would
+    overflow)."""
     if interpret is None:
         interpret = not _is_tpu()
     if seeds.ndim > 2:
@@ -1117,14 +1183,17 @@ def exact_distance_field(
             fn = jax.vmap(fn)
         return fn(seeds)
     h, w = seeds.shape
-    if max(h, w) > 4096:
-        raise ValueError("exact_distance_field: use jfa beyond 4096 px")
+    sat = _dist_sat(max(h, w))
+    if sat is None:
+        from chaq_sdfgen_tpu.ops import jfa as jfa_ops
+
+        return jfa_ops.jfa_distance(seeds)
     band = max(h - 1, 1)
     # the strips are requested with band + 8 so the last 8-tap group's
     # reads stay inside the sentinel halo; the opposite-polarity output
     # is simply discarded (pass 1 computes both in one sweep scratch)
     din_f, _, row_off = row_distances_u8_ext(
-        seeds, band + 8, interpret=interpret, dtype=jnp.uint16, sat=_DSAT
+        seeds, band + 8, interpret=interpret, dtype=jnp.uint16, sat=sat
     )
     hext = din_f.shape[0]
     hp = _round_up(h, 8)
@@ -1132,7 +1201,7 @@ def exact_distance_field(
     tn = 128
     nseg = (hext + _SEG_HARD - 1) // _SEG_HARD
     kern = functools.partial(
-        _dist_kernel, hext=hext, h=hp, off=row_off, band=band
+        _dist_kernel, hext=hext, h=hp, off=row_off, band=band, sat=sat
     )
     out = pl.pallas_call(
         kern,

@@ -126,3 +126,37 @@ def test_exact_distance_field_beats_jfa_on_misses():
     exact = np.asarray(pallas_edt.exact_distance_field(b, interpret=True))
     approx = np.asarray(jfa.jfa_distance(b))
     assert (exact <= approx + 1e-4).all()
+
+
+def test_exact_distance_field_beyond_4096():
+    """Regression (VERDICT r4 item 6): >4096 px used to raise; now the
+    saturation tier scales with the image (exact i32 d^2 up to 16384 px
+    per side). Tall sparse image straddling the 4096 boundary."""
+    from chaq_sdfgen_tpu.ops import pallas_edt
+
+    assert pallas_edt._dist_sat(4096) == 8191
+    assert pallas_edt._dist_sat(8192) == 16383
+    assert pallas_edt._dist_sat(16384) == 23170
+    assert pallas_edt._dist_sat(16385) is None
+    # tier invariants: sat > sqrt(2)*(n-1), sat^2 + (n-1)^2 < 2^31
+    for n, sat in ((4096, 8191), (8192, 16383), (16384, 23170)):
+        assert sat * sat > 2 * (n - 1) * (n - 1)
+        assert sat * sat + (n - 1) * (n - 1) < 2**31
+
+    b = np.zeros((4104, 128), bool)
+    b[2, 5] = True
+    b[4100, 100] = True
+    got = np.asarray(
+        pallas_edt.exact_distance_field(jnp.asarray(b), interpret=True)
+    )
+    ys, xs = np.nonzero(b)
+    yy, xx = np.mgrid[0 : b.shape[0], 0 : b.shape[1]]
+    d2ref = np.min(
+        (yy[..., None] - ys[None, None]) ** 2
+        + (xx[..., None] - xs[None, None]) ** 2,
+        axis=-1,
+    )
+    np.testing.assert_allclose(
+        got.astype(np.float64), np.sqrt(d2ref.astype(np.float64)),
+        rtol=1e-6, atol=1e-3,
+    )

@@ -291,11 +291,12 @@ class SDFGenerator:
                 )
             if cfg.algorithm == Algorithm.JFA:
                 d_in = S.sharded_jfa_distance(
-                    b, mesh, plus_one=cfg.jfa_plus_one, y_axis=sh.y_axis
+                    b, mesh, plus_one=cfg.jfa_plus_one, y_axis=sh.y_axis,
+                    x_axis=sh.x_axis,
                 )
                 d_out = S.sharded_jfa_distance(
                     jnp.logical_not(b), mesh, plus_one=cfg.jfa_plus_one,
-                    y_axis=sh.y_axis,
+                    y_axis=sh.y_axis, x_axis=sh.x_axis,
                 )
                 vals = merge.signed_merge(d_out, d_in)
                 return merge.remap_to_byte(vals, cfg.spread, cfg.asymmetric)

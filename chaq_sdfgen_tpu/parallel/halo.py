@@ -93,6 +93,17 @@ def exchange_col_halo(g: jnp.ndarray, band: int, axis_name: str, fill: float) ->
     return jnp.swapaxes(ext, -1, -2)
 
 
+def fetch_col_slab(g: jnp.ndarray, offset: int, axis_name: str, fill) -> jnp.ndarray:
+    """Column twin of fetch_row_slab for 2-D ('y','x') tile meshes: g is
+    (..., H, W_local) sharded over ``axis_name`` along its LAST axis; out
+    column x holds global column (x_global - offset). Implemented on the
+    transpose (shard-local) so the slab logic exists once; the payload
+    crossing ICI is the same <= W_local columns."""
+    gt = jnp.swapaxes(g, -1, -2)
+    slab = fetch_row_slab(gt, offset, axis_name, fill)
+    return jnp.swapaxes(slab, -1, -2)
+
+
 def fetch_row_slab(g: jnp.ndarray, offset: int, axis_name: str, fill) -> jnp.ndarray:
     """Same-shape slab shifted ``offset`` rows in GLOBAL coordinates: out
     row y holds global row (y_global - offset), or ``fill`` beyond the

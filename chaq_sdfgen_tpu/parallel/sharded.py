@@ -285,6 +285,7 @@ def sharded_jfa_distance(
     mesh: Mesh,
     plus_one: bool = True,
     y_axis: str = "y",
+    x_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Jump-flood distance field over a row-sharded mesh (BASELINE
     config 3's cross-tile nearest-seed reduction): every stride-k pass
@@ -292,10 +293,19 @@ def sharded_jfa_distance(
     ICI ring — multi-hop when k exceeds a shard — so the propagation sees
     exactly the same candidates as the single-chip kernel. Bitwise equal
     to ops.jfa.jfa_distance. seeds: (H, W) bool, H divisible by the mesh.
-    """
+
+    x_axis: optional second mesh axis sharding image COLUMNS — the 2-D
+    per-chip tile decomposition (reference analogue: the kernel's own
+    width x height NDRange, opencl/main.cpp:798). Each stride fetches
+    the three dy row-slabs over 'y' and shifts them over 'x' per dx tap
+    (fetch_col_slab); corner candidates route through both exchanges, so
+    diagonal-neighbour data arrives in two hops. Candidate order matches
+    the single-chip loop exactly -> bitwise equal."""
     from chaq_sdfgen_tpu.ops import jfa as jfa_ops
     from chaq_sdfgen_tpu.ops.numerics import refined_sqrt
 
+    if x_axis is not None:
+        return _sharded_jfa_distance_2d(seeds, mesh, plus_one, y_axis, x_axis)
     h, w = seeds.shape
     n = dict(zip(mesh.axis_names, mesh.devices.shape))[y_axis]
     h_local = h // n
@@ -411,6 +421,62 @@ def sharded_jfa_distance(
         return refined_sqrt(d2.astype(jnp.float32))
 
     spec = P(y_axis, None)
+    return jax.shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)(seeds)
+
+
+def _sharded_jfa_distance_2d(seeds, mesh, plus_one, y_axis, x_axis):
+    from chaq_sdfgen_tpu.ops import jfa as jfa_ops
+    from chaq_sdfgen_tpu.ops.numerics import refined_sqrt
+    from chaq_sdfgen_tpu.parallel.halo import fetch_col_slab, fetch_row_slab
+
+    h, w = seeds.shape
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    h_loc = h // axes[y_axis]
+    w_loc = w // axes[x_axis]
+    strides = jfa_ops._strides(h, w, plus_one)
+    invalid = jfa_ops._INVALID_D2
+    xbits = max((w - 1).bit_length(), 1)
+    mask = jnp.int32((1 << xbits) - 1)
+    none = jnp.int32(-1)
+
+    def local(blk):
+        iy = jax.lax.axis_index(y_axis).astype(jnp.int32)
+        ix = jax.lax.axis_index(x_axis).astype(jnp.int32)
+        yy = (
+            jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0)
+            + iy * jnp.int32(h_loc)
+        )
+        xx = (
+            jax.lax.broadcasted_iota(jnp.int32, blk.shape, 1)
+            + ix * jnp.int32(w_loc)
+        )
+        p = jnp.where(blk, (yy << xbits) | xx, none)
+        for k in strides:
+            sp = p
+            sy0 = sp >> xbits
+            sx0 = sp & mask
+            d2 = jnp.where(sp >= 0, (yy - sy0) ** 2 + (xx - sx0) ** 2, invalid)
+            # dy slab: out[y] = p_glob[y + dy] -> fetch offset -dy
+            for dy in (-k, 0, k):
+                slab = sp if dy == 0 else fetch_row_slab(sp, -dy, y_axis, none)
+                for dx in (-k, 0, k):
+                    if dy == 0 and dx == 0:
+                        continue
+                    cp = (
+                        slab
+                        if dx == 0
+                        else fetch_col_slab(slab, -dx, x_axis, none)
+                    )
+                    csy = cp >> xbits
+                    csx = cp & mask
+                    cd2 = (yy - csy) ** 2 + (xx - csx) ** 2
+                    cd2 = jnp.where(cp >= 0, cd2, invalid)
+                    take = cd2 < d2
+                    p = jnp.where(take, cp, p)
+                    d2 = jnp.minimum(d2, cd2)
+        return refined_sqrt(d2.astype(jnp.float32))
+
+    spec = P(y_axis, x_axis)
     return jax.shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)(seeds)
 
 

@@ -53,8 +53,9 @@ static uint32_t rd_le32(const uint8_t* p) {
 }
 
 // ---------------------------------------------------------------------------
-// PNG decode (8-bit depth; color types 0 gray, 2 RGB, 3 palette, 4 GA, 6 RGBA;
-// no interlace). Output: gray+alpha interleaved, h*w*2 bytes.
+// PNG decode (8/16-bit depth; color types 0 gray, 2 RGB, 3 palette, 4 GA,
+// 6 RGBA; sequential or Adam7 interlace). Output: gray+alpha interleaved,
+// h*w*2 bytes.
 // ---------------------------------------------------------------------------
 
 static int paeth(int a, int b, int c) {
@@ -100,7 +101,13 @@ int sdfio_decode_png(const uint8_t* data, size_t len, uint8_t** out, int* w, int
         pos += 12 + clen;
     }
     if (!seen_ihdr || width == 0 || height == 0) return -3;
-    if (bit_depth != 8 || interlace != 0) return -10;  // unsupported -> PIL
+    // 8- and 16-bit depths, sequential or Adam7 interlace — the formats
+    // stb_image's PNG reader handles (reference O9); 16-bit samples
+    // convert to 8 by taking the high (first, big-endian) byte, stb's
+    // stbi__convert_16_to_8 rule.
+    if (bit_depth != 8 && bit_depth != 16) return -10;  // 1/2/4-bit -> PIL
+    if (interlace != 0 && interlace != 1) return -10;
+    if (bit_depth == 16 && color_type == 3) return -3;  // invalid per spec
     int ch;
     switch (color_type) {
         case 0: ch = 1; break;
@@ -112,35 +119,77 @@ int sdfio_decode_png(const uint8_t* data, size_t len, uint8_t** out, int* w, int
     }
     if (color_type == 3 && palette.empty()) return -3;
 
-    size_t stride = (size_t)width * ch;
-    std::vector<uint8_t> raw((stride + 1) * height);
+    const size_t bps = bit_depth / 8;       // bytes per sample
+    const size_t bpp = (size_t)ch * bps;    // filter byte distance
+
+    // pass geometry: one full-frame pass, or the 7 Adam7 sub-images
+    struct Pass { uint32_t x0, y0, dx, dy, w, h; };
+    Pass passes[7];
+    int npass = 0;
+    if (interlace == 0) {
+        passes[npass++] = {0, 0, 1, 1, width, height};
+    } else {
+        static const uint32_t X0[7] = {0, 4, 0, 2, 0, 1, 0};
+        static const uint32_t Y0[7] = {0, 0, 4, 0, 2, 0, 1};
+        static const uint32_t DX[7] = {8, 8, 4, 4, 2, 2, 1};
+        static const uint32_t DY[7] = {8, 8, 8, 4, 4, 2, 2};
+        for (int p = 0; p < 7; ++p) {
+            uint32_t pw = width > X0[p] ? (width - X0[p] + DX[p] - 1) / DX[p] : 0;
+            uint32_t ph = height > Y0[p] ? (height - Y0[p] + DY[p] - 1) / DY[p] : 0;
+            passes[npass++] = {X0[p], Y0[p], DX[p], DY[p], pw, ph};
+        }
+    }
+    size_t total_raw = 0;
+    for (int p = 0; p < npass; ++p)
+        if (passes[p].w && passes[p].h)
+            total_raw += ((size_t)passes[p].w * bpp + 1) * passes[p].h;
+
+    std::vector<uint8_t> raw(total_raw);
     uLongf raw_len = (uLongf)raw.size();
     if (uncompress(raw.data(), &raw_len, idat.data(), (uLong)idat.size()) != Z_OK ||
         raw_len != raw.size())
         return -4;
 
+    // de-filter each pass, distribute 8-bit samples into the frame
+    size_t stride = (size_t)width * ch;
     std::vector<uint8_t> img(stride * height);
-    for (uint32_t y = 0; y < height; ++y) {
-        const uint8_t* src = raw.data() + y * (stride + 1);
-        uint8_t filter = src[0];
-        const uint8_t* cur_in = src + 1;
-        uint8_t* cur = img.data() + y * stride;
-        const uint8_t* up = y ? img.data() + (y - 1) * stride : nullptr;
-        for (size_t x = 0; x < stride; ++x) {
-            int a = x >= (size_t)ch ? cur[x - ch] : 0;
-            int b = up ? up[x] : 0;
-            int c = (up && x >= (size_t)ch) ? up[x - ch] : 0;
-            int v = cur_in[x];
-            switch (filter) {
-                case 0: break;
-                case 1: v += a; break;
-                case 2: v += b; break;
-                case 3: v += (a + b) / 2; break;
-                case 4: v += paeth(a, b, c); break;
-                default: return -5;
+    std::vector<uint8_t> prevrow, currow;
+    size_t off = 0;
+    for (int p = 0; p < npass; ++p) {
+        const Pass& ps = passes[p];
+        if (!ps.w || !ps.h) continue;
+        size_t rstride = (size_t)ps.w * bpp;
+        prevrow.assign(rstride, 0);
+        currow.resize(rstride);
+        for (uint32_t y = 0; y < ps.h; ++y) {
+            const uint8_t* src = raw.data() + off + y * (rstride + 1);
+            uint8_t filter = src[0];
+            const uint8_t* cur_in = src + 1;
+            for (size_t x = 0; x < rstride; ++x) {
+                int a = x >= bpp ? currow[x - bpp] : 0;
+                int b = prevrow[x];
+                int c = x >= bpp ? prevrow[x - bpp] : 0;
+                int v = cur_in[x];
+                switch (filter) {
+                    case 0: break;
+                    case 1: v += a; break;
+                    case 2: v += b; break;
+                    case 3: v += (a + b) / 2; break;
+                    case 4: v += paeth(a, b, c); break;
+                    default: return -5;
+                }
+                currow[x] = (uint8_t)v;
             }
-            cur[x] = (uint8_t)v;
+            uint8_t* dst = img.data() + (size_t)(ps.y0 + y * ps.dy) * stride;
+            for (uint32_t px = 0; px < ps.w; ++px) {
+                uint8_t* d = dst + (size_t)(ps.x0 + px * ps.dx) * ch;
+                const uint8_t* s = currow.data() + (size_t)px * bpp;
+                for (int ci = 0; ci < ch; ++ci)
+                    d[ci] = s[(size_t)ci * bps];  // byte 0 = value (8-bit) or high byte (16-bit BE)
+            }
+            prevrow.swap(currow);
         }
+        off += (rstride + 1) * ps.h;
     }
 
     uint8_t* res = (uint8_t*)malloc((size_t)width * height * 2);

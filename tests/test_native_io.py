@@ -522,3 +522,83 @@ def test_gif_decode_native_transparency():
     assert ((got[..., 1] == 0) == tr).all()
     assert (got[..., 0][tr] == 0).all()
     np.testing.assert_array_equal(got[..., 0][~tr], _stb_lum_rgb(rgb)[~tr])
+
+
+@pytest.mark.parametrize("mode", ["L", "LA", "RGB", "RGBA"])
+def test_png_decode_adam7_interlaced(mode):
+    """Adam7 interlaced PNG decodes natively (last stb O9 format delta,
+    VERDICT r4 item 8) — bit-identical to the sequential decode of the
+    same pixels. Odd dims exercise partial/empty interlace passes."""
+    rng = np.random.default_rng(101 + len(mode))
+    ch = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}[mode]
+    for shape in [(37, 53), (7, 3), (1, 1), (8, 8), (9, 2)]:
+        arr = (rng.random((*shape, ch)) * 255).astype(np.uint8)
+        arr = arr[..., 0] if ch == 1 else arr
+        im = Image.fromarray(arr, mode)
+        buf = io.BytesIO()
+        im.save(buf, format="PNG", interlace=True)
+        got = sdfio_native.decode_gray_alpha(buf.getvalue())
+        assert got is not None, f"refused interlaced {mode} {shape}"
+        seq = sdfio_native.decode_gray_alpha(_pil_bytes(arr, mode, "PNG"))
+        np.testing.assert_array_equal(got, seq)
+
+
+def test_png_decode_16bit_gray():
+    """16-bit grayscale PNG: native decode takes the high (big-endian
+    first) byte per sample — stb's stbi__convert_16_to_8 rule."""
+    rng = np.random.default_rng(202)
+    img16 = (rng.random((25, 31)) * 65535).astype(np.uint16)
+    im = Image.new("I;16", (img16.shape[1], img16.shape[0]))
+    im.frombytes(img16.astype("<u2").tobytes())
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    got = sdfio_native.decode_gray_alpha(buf.getvalue())
+    assert got is not None, "refused 16-bit PNG"
+    np.testing.assert_array_equal(got[..., 0], (img16 >> 8).astype(np.uint8))
+    assert (got[..., 1] == 255).all()
+
+
+def test_png_decode_16bit_rgb_interlaced():
+    """16-bit RGB + Adam7 together (both new paths compose)."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(203)
+    h, w = 11, 6
+    rgb16 = (rng.random((h, w, 3)) * 65535).astype(np.uint16)
+    # hand-rolled interlaced 16-bit PNG (PIL won't write one)
+    X0, Y0 = [0, 4, 0, 2, 0, 1, 0], [0, 0, 4, 0, 2, 0, 1]
+    DX, DY = [8, 8, 4, 4, 2, 2, 1], [8, 8, 8, 4, 4, 2, 2]
+    raw = bytearray()
+    for p in range(7):
+        pw = (w - X0[p] + DX[p] - 1) // DX[p] if w > X0[p] else 0
+        ph = (h - Y0[p] + DY[p] - 1) // DY[p] if h > Y0[p] else 0
+        if not pw or not ph:
+            continue
+        for yy in range(ph):
+            raw.append(0)  # filter none
+            for xx in range(pw):
+                px = rgb16[Y0[p] + yy * DY[p], X0[p] + xx * DX[p]]
+                for c in px:
+                    raw += struct.pack(">H", int(c))
+
+    def chunk(tag, payload):
+        out = struct.pack(">I", len(payload)) + tag + payload
+        return out + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 1)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = sdfio_native.decode_gray_alpha(png)
+    assert got is not None, "refused interlaced 16-bit PNG"
+    hi = (rgb16 >> 8).astype(np.uint16)
+    want = ((hi[..., 0] * 77 + hi[..., 1] * 150 + 29 * hi[..., 2]) >> 8).astype(np.uint8)
+    np.testing.assert_array_equal(got[..., 0], want)
+    # PIL cross-check of the hand-rolled file (PIL loads 16-bit RGB
+    # as 8-bit high bytes already)
+    pil = np.asarray(Image.open(io.BytesIO(png)))
+    np.testing.assert_array_equal(pil, hi.astype(np.uint8))

@@ -26,6 +26,7 @@ def atlas_sdf(
     images: jnp.ndarray,
     config: SdfConfig = SdfConfig(),
     mesh: Optional[Mesh] = None,
+    sharding=None,
 ) -> jnp.ndarray:
     """(N, H, W, 2) uint8 -> (N, H, W) uint8 SDF bitmaps.
 
@@ -33,8 +34,14 @@ def atlas_sdf(
     inputs with NamedSharding so XLA keeps every stage device-local except
     the pass-2 halo exchange. Without a mesh: single-chip batched (vmapped
     Pallas kernels).
-    """
+
+    sharding: alternatively a config.ShardingConfig — the mesh is built
+    from it (mesh and sharding are mutually exclusive)."""
     images = jnp.asarray(images)
+    if sharding is not None:
+        if mesh is not None:
+            raise ValueError("pass either mesh or sharding, not both")
+        mesh = sharding.build_mesh()
     if images.ndim != 4 or images.shape[-1] != 2:
         raise ValueError(f"expected (N, H, W, 2) gray+alpha stack, got {images.shape}")
     b = threshold.hard_threshold(

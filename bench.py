@@ -183,9 +183,11 @@ def main():
             return outer
 
         dt = _slope_ms(brute_loop, b4k, reps=3) / 1e3
+        dt_brute = dt
         extras["brute_fwd_pixels_per_s"] = round(N * N / dt, 1)
         err(f"brute 4K fwd: {dt*1e3:.2f} ms/iter -> {N*N/dt/1e9:.3f} Gpix/s")
     except Exception as e:  # pragma: no cover - bench resilience
+        dt_brute = None
         err("brute bench failed:", repr(e))
 
     # --- JFA (scale-out algorithm) 4K fwd ---
@@ -315,6 +317,33 @@ def main():
         )
     except Exception as e:
         err("sharded bench failed:", repr(e))
+
+    # --- sharded BRUTE (1-dev mesh): row-local pass A + strip halo +
+    #     halo-operand dy-scan kernel (OpenCL NDRange analogue) ---
+    try:
+        from chaq_sdfgen_tpu.parallel.sharded import sharded_brute_sdf_bytes
+
+        def shard_brute_loop(k):
+            def outer(x):
+                def body(i, acc):
+                    o = sharded_brute_sdf_bytes(
+                        jnp.logical_xor(x, i % 2 == 1), spread, mesh,
+                        interpret=False,
+                    )
+                    return acc + jnp.sum(o[:64].astype(jnp.float32))
+                return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+            return outer
+
+        dt = _slope_ms(shard_brute_loop, b4k, reps=3) / 1e3
+        extras["sharded_1dev_brute_pixels_per_s"] = round(N * N / dt, 1)
+        if dt_brute:
+            extras["sharded_1dev_brute_overhead"] = round(dt / dt_brute - 1.0, 4)
+            err(
+                f"sharded(1-dev) brute 4K fwd: {dt*1e3:.2f} ms/iter "
+                f"({(dt/dt_brute-1)*100:+.1f}% vs unsharded)"
+            )
+    except Exception as e:
+        err("sharded brute bench failed:", repr(e))
 
     # --- sharded soft (1-dev mesh): the fused-kernel split the flagship
     #     mesh train step runs (pass1_s1 local + s1 halo + pass2_ext) ---

@@ -127,13 +127,31 @@ def _win_min(seg_ref, lo_row: int, hi_row: int, nrows: int, *, seg0=0):
     return m
 
 
-def _chunk_softmin(ref, off, r, rc, band, tf, inv_t, seg_ref, nrows, sm_ref, acc_ref, *, seg0=0):
+def _chunk_softmin(ref, off, r, rc, band, tf, inv_t, seg_ref, nrows, sm_ref, acc_ref, *, seg0=0, live_mask=None):
     """Adaptive banded soft-min for output rows [r, r+rc) (r 8-aligned):
     returns the (rc, lanes) f32 chunk of
       m - T log sum_k exp((m - (k-band)^2 - g_ext[q+k]) / T).
     ref must be valid on rows [off + r, off + r + rc + 2*band + 16).
-    tf / inv_t: f32 scalars (may be traced — see _params)."""
+    tf / inv_t: f32 scalars (may be traced — see _params).
+
+    live_mask: optional bool array broadcastable to (rc, lanes) marking
+    the outputs whose values matter. DEAD outputs (sentinel-dominated —
+    beyond-image pad rows, edge-shard halo fill) are excluded from the
+    chunk-max that drives both skip bounds: a single 1e30-acc row
+    otherwise saturates thresh and forces the FULL band stencil for the
+    whole chunk (and, via the memoized d2, for every chunk of B2 —
+    measured +27% e2e whenever H isn't a 128-multiple). Exactness for
+    live rows is unchanged: phase A skips only when the group's best tap
+    cannot beat the live max (a hard-min no-op), phase B drops only taps
+    whose relative weight < exp(-_UNDERFLOW) for every live row (an
+    exact f32 add no-op). Dead rows' outputs become garbage — callers
+    must mask them (F2 stores 0.0 into d2cat)."""
     n_groups_a = (band + 3) // 4
+
+    def _smax(a):
+        if live_mask is None:
+            return jnp.max(a)
+        return jnp.max(jnp.where(live_mask, a, jnp.float32(_NEG_HUGE)))
 
     # ---- phase A: adaptive hard band-min, |dy| groups center-out in
     # 4-tap groups (the always-on central group is the floor cost of the
@@ -149,7 +167,7 @@ def _chunk_softmin(ref, off, r, rc, band, tf, inv_t, seg_ref, nrows, sm_ref, acc
         )
         acc = jnp.minimum(acc, pair + jnp.float32(dy * dy))
     acc_ref[0:rc, :] = acc
-    sm_ref[0] = jnp.max(acc)
+    sm_ref[0] = _smax(acc)
     for k in range(1, n_groups_a):
         dylo = 4 * k + 1
         dyhi = min(4 * (k + 1), band)
@@ -171,7 +189,7 @@ def _chunk_softmin(ref, off, r, rc, band, tf, inv_t, seg_ref, nrows, sm_ref, acc
                 )
                 a = jnp.minimum(a, pair + jnp.float32(dy * dy))
             acc_ref[0:rc, :] = a
-            sm_ref[0] = jnp.max(a)
+            sm_ref[0] = _smax(a)
 
     m = acc_ref[0:rc, :]
     thresh = sm_ref[0] + jnp.float32(_UNDERFLOW) * tf
@@ -505,11 +523,27 @@ def _f2_kernel(sin_ref, sout_ref, prm_ref, field_ref, d2cat_ref, wide_ref, acc_r
             src = wide_ref
         nsegf = _build_seg_min(src, seg_ref, rrows, seg0=0)
         sm_ref[1] = _seg_global(seg_ref, nsegf)
+        # live OUTPUT-row window [prm[5], prm[6]) (same coords as F1's —
+        # gray/field rows): beyond-image pad rows and edge-shard halo
+        # fill have sentinel-dominated acc; excluding them from the
+        # chunk-max keeps the skip bounds live-tight (see _chunk_softmin)
+        # and zeroing their stored d2 keeps B2's segment MAXIMA benign
+        # (a 1e30 d2 row saturates smax_glob -> full group range for
+        # every B2 chunk). Live rows' cotangent math never reads dead
+        # rows' d2 with a nonzero weight x ct product.
+        ylo = prm_ref[5]
+        yhi = prm_ref[6]
         for r in range(0, hp, _CHUNK):
             rc = min(_CHUNK, hp - r)
+            rowy = (
+                jax.lax.broadcasted_iota(jnp.int32, (rc, _TN), 0) + jnp.int32(r)
+            ).astype(jnp.float32)
+            live = jnp.logical_and(rowy >= ylo, rowy < yhi)
             d2 = _chunk_softmin(
-                src, off, r, rc, band, tf, inv_t, seg_ref, rrows, sm_ref, acc_ref, seg0=0
+                src, off, r, rc, band, tf, inv_t, seg_ref, rrows, sm_ref,
+                acc_ref, seg0=0, live_mask=live,
             )
+            d2 = jnp.where(live, d2, jnp.float32(0.0))
             d2cat_ref[fi * hp + r : fi * hp + r + rc, :] = d2
             if fi == 1:
                 d2i = d2cat_ref[r : r + rc, :]
@@ -951,8 +985,14 @@ def _p2e_fwd(s1ext, prm, bands, interpret, prm_const):
     s1cat_b = jnp.concatenate([pad, s1ext, pad], axis=0)
     # F2 over the extended row range: rows within `halo` of either end
     # read fill/partial data and are discarded (their cotangent is zero
-    # in backward, so their memoized d2 never contributes either)
-    field, d2cat = f2_pass(s1cat_b, prm, hb, band, interpret, prm_const=prm_const)
+    # in backward, so their memoized d2 never contributes either).
+    # Override F2's live window to the interior range: prm[5:7] carries
+    # F1's per-shard window in LOCAL gray coords, which is misaligned
+    # here (and halo-row outputs are discarded anyway — masking them
+    # keeps edge-shard fill rows out of the skip bounds; see
+    # _chunk_softmin's live_mask).
+    prm2 = prm.at[5].set(jnp.float32(halo)).at[6].set(jnp.float32(hb - halo))
+    field, d2cat = f2_pass(s1cat_b, prm2, hb, band, interpret, prm_const=prm_const)
     return (
         jax.lax.slice_in_dim(field, halo, hb - halo, axis=0),
         (s1cat_b, d2cat, prm, hb),

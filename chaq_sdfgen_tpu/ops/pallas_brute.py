@@ -179,7 +179,12 @@ def _passa_kernel(
             if c + cc > w_actual:
                 xs = jax.lax.broadcasted_iota(jnp.int32, (cc, tm), 0) + jnp.int32(c)
                 valid = jnp.logical_and(valid, xs < jnp.int32(w_actual))
-            seed_t = jnp.logical_and(blk > 0, valid)
+            # tri-state liveness (the hard-path trick, pallas_edt.
+            # _row_pass_body): 1 seeds TRUE, 0 seeds FALSE, any other
+            # code (the x-sharded tier's beyond-image column fill 2)
+            # seeds NEITHER — single-chip bool inputs are 0/1 so this
+            # is the same predicate there.
+            seed_t = jnp.logical_and(blk == 1, valid)
             seed_f = jnp.logical_and(blk == 0, valid)
             iscr[c : c + cc, 0:tm] = jnp.where(seed_t, jnp.int32(0), inf)
             iscr[c : c + cc, tm : 2 * tm] = jnp.where(seed_f, jnp.int32(0), inf)

@@ -239,6 +239,64 @@ def _local_brute_bytes_pallas(b_blk, spread, asymmetric, invert, y_axis, interpr
     )
 
 
+def _local_brute_bytes_pallas_2d(
+    b_blk, spread, asymmetric, invert, y_axis, x_axis, interpret
+):
+    """Per-TILE BRUTE pipeline for a 2-D ('y','x') mesh — the TPU
+    analogue of the reference kernel's width x height NDRange
+    (opencl/main.cpp:798). Pass A's influence range along a row is
+    <= spread (distances clip at the u8 sentinel spread+1), so a
+    spread-COLUMN seed halo makes the local row strips exact; beyond-
+    image halo columns carry the tri-state dead code 2 (seeds NEITHER
+    polarity — pass A's `blk == 1` / `blk == 0` predicates, matching
+    the single-chip boundary where the scan simply ends). The strips'
+    interior columns are then repacked to the local lane width and the
+    1-D row-halo dy-scan runs unchanged. Bitwise equal to the 1-D and
+    single-chip paths."""
+    from chaq_sdfgen_tpu.ops import pallas_brute as PB
+    from chaq_sdfgen_tpu.parallel.halo import (
+        exchange_col_halo,
+        exchange_row_halo_parts,
+    )
+
+    h_loc, w_loc = b_blk.shape[-2], b_blk.shape[-1]
+    sent = spread + 1
+    t = b_blk.astype(jnp.uint8)
+    text = exchange_col_halo(t, spread, x_axis, 2)
+    l1, l2, r1, r2, loc_off, wp_ext = PB.row_seed_distances_ext(
+        text, spread, interpret
+    )
+    # repack: interior columns of each polarity half -> (rows, 2*wp_loc)
+    wp_loc = -(-w_loc // 128) * 128
+    pad = ((0, 0), (0, wp_loc - w_loc))
+
+    def repack(s):
+        st = jax.lax.slice_in_dim(s, spread, spread + w_loc, axis=1)
+        sf = jax.lax.slice_in_dim(
+            s, wp_ext + spread, wp_ext + spread + w_loc, axis=1
+        )
+        return jnp.concatenate(
+            [
+                jnp.pad(st, pad, constant_values=sent),
+                jnp.pad(sf, pad, constant_values=sent),
+            ],
+            axis=1,
+        )
+
+    strips = tuple(repack(s) for s in (l1, l2, r1, r2))
+    hr = -(-max(spread, 8) // 8) * 8
+    ups, dns = [], []
+    for s in strips:
+        real = jax.lax.slice_in_dim(s, loc_off, loc_off + h_loc, axis=0)
+        up, dn = exchange_row_halo_parts(real, hr, y_axis, sent)
+        ups.append(up)
+        dns.append(dn)
+    return PB.brute_sdf_bytes_pallas_halo(
+        b_blk, strips, tuple(ups), tuple(dns), loc_off, wp_loc,
+        spread, asymmetric=asymmetric, invert=invert, interpret=interpret,
+    )
+
+
 def sharded_brute_sdf_bytes(
     b: jnp.ndarray,
     spread: int,
@@ -248,12 +306,17 @@ def sharded_brute_sdf_bytes(
     y_axis: str = "y",
     batch_axis: Optional[str] = None,
     interpret: Optional[bool] = None,
+    x_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """BRUTE (OpenCL-parity) pipeline over a row-sharded mesh — bitwise
     identical to ops.brute.brute_sdf_bytes (and hence the reference
     kernel, opencl/sdf.cl:193-224). b: bool (H, W) or (N, H, W); H
     divisible by the 'y' mesh extent, per-shard height an 8-multiple;
-    spread <= 254 (the u8 strip sentinel)."""
+    spread <= 254 (the u8 strip sentinel).
+
+    x_axis: optional second mesh axis sharding image COLUMNS — the 2-D
+    per-chip tile decomposition (SURVEY §2.4; reference analogue
+    opencl/main.cpp:798's width x height NDRange)."""
     if spread + 1 > 255:
         raise ValueError(f"sharded brute needs spread <= 254, got {spread}")
     n_y = dict(zip(mesh.axis_names, mesh.devices.shape))[y_axis]
@@ -265,12 +328,25 @@ def sharded_brute_sdf_bytes(
         )
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    spec = P(y_axis, None) if batch_axis is None else P(batch_axis, y_axis, None)
+    if batch_axis is None:
+        spec = P(y_axis, None) if x_axis is None else P(y_axis, x_axis)
+    else:
+        spec = (
+            P(batch_axis, y_axis, None)
+            if x_axis is None
+            else P(batch_axis, y_axis, x_axis)
+        )
 
-    fn = functools.partial(
-        _local_brute_bytes_pallas, spread=spread, asymmetric=asymmetric,
-        invert=invert, y_axis=y_axis, interpret=interpret,
-    )
+    if x_axis is not None:
+        fn = functools.partial(
+            _local_brute_bytes_pallas_2d, spread=spread, asymmetric=asymmetric,
+            invert=invert, y_axis=y_axis, x_axis=x_axis, interpret=interpret,
+        )
+    else:
+        fn = functools.partial(
+            _local_brute_bytes_pallas, spread=spread, asymmetric=asymmetric,
+            invert=invert, y_axis=y_axis, interpret=interpret,
+        )
     if batch_axis is not None:
         inner = fn
         fn = lambda blk: jax.vmap(inner)(blk)

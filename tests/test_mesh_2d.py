@@ -69,6 +69,70 @@ def test_hard_2d_asymmetric_nonsquare():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("ny,nx,shape,spread", [
+    (2, 4, (64, 256), 9),      # wide tiles
+    (4, 2, (128, 64), 5),      # tall tiles
+])
+def test_brute_2d_bitwise(ny, nx, shape, spread):
+    needs_devices(ny * nx)
+    from chaq_sdfgen_tpu.ops.brute import brute_sdf_bytes
+    from chaq_sdfgen_tpu.parallel.sharded import sharded_brute_sdf_bytes
+
+    rng = np.random.default_rng(ny * 100 + nx)
+    b = jnp.asarray(rng.random(shape) < 0.3)
+    mesh = _mesh2d(ny, nx)
+    got = sharded_brute_sdf_bytes(b, spread, mesh, y_axis="y", x_axis="x")
+    want = brute_sdf_bytes(b, spread, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_brute_2d_spread_exceeds_tile_width():
+    """spread 40 > W_local 32: the seed column halo must hop 2 shards."""
+    needs_devices(8)
+    from chaq_sdfgen_tpu.ops.brute import brute_sdf_bytes
+    from chaq_sdfgen_tpu.parallel.sharded import sharded_brute_sdf_bytes
+
+    rng = np.random.default_rng(11)
+    b = jnp.asarray(rng.random((64, 128)) < 0.25)
+    mesh = _mesh2d(2, 4)  # W_local = 32
+    got = sharded_brute_sdf_bytes(b, 40, mesh, y_axis="y", x_axis="x")
+    want = brute_sdf_bytes(b, 40, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_brute_2d_sparse_seed_crosses_both_seams():
+    """A single seed whose influence crosses the y seam AND the x seam
+    diagonally — the case the |dx| == |dy| exclusion quirk and the 2-hop
+    halos both touch."""
+    needs_devices(4)
+    from chaq_sdfgen_tpu.ops.brute import brute_sdf_bytes
+    from chaq_sdfgen_tpu.parallel.sharded import sharded_brute_sdf_bytes
+
+    b = np.zeros((64, 64), bool)
+    b[30, 29] = True  # just inside tile (0, 0) near both seams
+    mesh = _mesh2d(2, 2)
+    got = sharded_brute_sdf_bytes(
+        jnp.asarray(b), 25, mesh, y_axis="y", x_axis="x"
+    )
+    want = brute_sdf_bytes(jnp.asarray(b), 25, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_brute_2d_invert_asymmetric_nonsquare():
+    needs_devices(4)
+    from chaq_sdfgen_tpu.ops.brute import brute_sdf_bytes
+    from chaq_sdfgen_tpu.parallel.sharded import sharded_brute_sdf_bytes
+
+    rng = np.random.default_rng(13)
+    b = jnp.asarray(rng.random((48, 120)) < 0.4)
+    mesh = _mesh2d(2, 2)
+    got = sharded_brute_sdf_bytes(
+        b, 11, mesh, invert=True, asymmetric=True, y_axis="y", x_axis="x"
+    )
+    want = brute_sdf_bytes(b, 11, invert=True, asymmetric=True, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 TAU, T, EPS = 2.0, 1.0, 1e-6
 
 

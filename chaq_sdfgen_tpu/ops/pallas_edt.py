@@ -46,12 +46,16 @@ def _refined_sqrt_inline(n):
     return jnp.where(n > 0, s0 + corr, jnp.float32(0.0))
 
 
-_ROW_CHUNK = 128  # rows per inner pass-2 step. Swept on-chip (slope
-# timing, spread 64): 128 beats 256/512 on dense noise (4K 2.41 ms vs
-# 2.92) AND sparse glyph atlases (2.34 ms vs 3.41 for 8x1K) — the
-# adaptive skip bound is a scalar per chunk, so smaller chunks both
-# localize the bound (sparse images skip more) and keep the accumulator
-# in fewer live vregs; 64 regresses dense noise (per-chunk overheads).
+_ROW_CHUNK = 256  # rows per inner pass-2 step. Re-swept on-chip for the
+# round-5 looped-group + halo-operand kernel (interleaved slope timing,
+# 4K spread 64): 256 beats 128 on dense noise (0.92 vs 0.99 ms pass 2)
+# AND 0.1% sparse seeds (2.54 vs 2.70) and the synthetic stroke atlas
+# (3.06 vs 3.39); 512 regresses both (1.45 dense — accumulator vregs
+# spill), 64 regresses sparse badly (3.77 — per-chunk scalar bound
+# overhead). The r2 sweep that chose 128 predates the dynamic trip
+# count: back then every group paid its bound check, so small chunks
+# (tighter smax) won; now skipped groups cost ~nothing and the larger
+# chunk amortizes the center-tap loop's fixed overheads instead.
 
 
 def _sweep_scratch(dscr, w_rows):
@@ -1089,8 +1093,11 @@ def _dist_kernel(d_ref, out_ref, g_ref, acc_ref, smin_ref, seg_ref, *,
     # if strip geometry stops being a 64-row multiple (see
     # _fused_kernel_looped's seam note)
     nseg = (hext + _SEG_HARD - 1) // _SEG_HARD
-    for r in range(0, hext, _ROW_CHUNK):
-        rc = min(_ROW_CHUNK, hext - r)
+    # squares fill stays at 128-row chunks: the r5 _ROW_CHUNK=256 re-sweep
+    # showed a small consistent regression here (1.67 vs 1.63 ms e2e) —
+    # the i32 widen+mul carries more live temporaries than the f32 fill
+    for r in range(0, hext, 128):
+        rc = min(128, hext - r)
         di = d_ref[r : r + rc, :].astype(jnp.int32)
         g_ref[r : r + rc, :] = di * di
     for s in range(nseg):

@@ -90,21 +90,34 @@ def _wcolt(k, temperature):
 # matmul precision: 6-pass f32 (HIGHEST) by default; CHAQ_SOFT_MXU_PREC=high
 # opts into the 3-pass decomposition — ~2e-4 forward error, gradients at
 # sigmoid-knee pixels shift up to 16% of scale (measured, see soft_mxu) —
-# for throughput-first forward-only use (atlas generation sweeps)
+# for throughput-first forward-only use (atlas generation sweeps).
+# Mosaic has no HIGH lowering for in-kernel dots (NotImplementedError),
+# so the 3-pass form is built manually: a/b split into bf16 hi + lo
+# residual, C ~ ah.bh + ah.bl + al.bh (the dropped lo.lo term is
+# O(2^-16) relative — exactly XLA's own HIGH decomposition).
 import os as _os
 
-_PRECISION = (
-    lax.Precision.HIGH
-    if _os.environ.get("CHAQ_SOFT_MXU_PREC", "highest") == "high"
-    else lax.Precision.HIGHEST
-)
+_PREC_HIGH = _os.environ.get("CHAQ_SOFT_MXU_PREC", "highest") == "high"
 
 
 def _dot(a, b):
+    if _PREC_HIGH:
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(x, y):
+            return lax.dot_general(
+                x, y, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
     return lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_PRECISION,
+        precision=lax.Precision.HIGHEST,
     )
 
 

@@ -297,6 +297,22 @@ def soft_sdf_field(
                             g, band, tau_f, t_f, eps_f, test_above
                         )
 
+                    # Remat the fallback branch: lax.cond's AD emits the
+                    # UNION of both branches' residuals as cond outputs
+                    # (~18x the input here — the adaptive kernels memoize
+                    # s1cat/logitsT), so the common in-gamut iteration
+                    # was zero-filling ~10x-input of untaken residual
+                    # buffers every step: measured 3.55 -> 2.92 ms at 4K
+                    # fwd+bwd with the checkpoint (grads bitwise equal).
+                    # Out-of-gamut inputs through THIS undeclared-range
+                    # API now recompute their forward in the backward
+                    # (10.0 -> 15.0 ms); callers that KNOW they are
+                    # beyond the gamut keep the memoized path via
+                    # CHAQ_SOFT_RT=0 or soft_sdf_field_fused directly.
+                    # CHAQ_SOFT_RT_REMAT=0 restores the old union cond.
+                    if os.environ.get("CHAQ_SOFT_RT_REMAT", "1") != "0":
+                        ad2d = jax.checkpoint(ad2d)
+
                     rt_fn, ad_fn = rt2d, ad2d
                     for _ in range(gray.ndim - 2):
                         rt_fn = jax.vmap(rt_fn)

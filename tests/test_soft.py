@@ -171,3 +171,45 @@ def test_large_band_warns_on_tpu(monkeypatch, caplog):
     with caplog.at_level(logging.WARNING, logger="chaq_sdfgen_tpu.ops.softsdf"):
         softsdf._warn_large_band(130)
     assert not caplog.records
+
+
+def test_rt_gate_remat_fallback_grads_equal():
+    """The runtime-gated dispatch (softsdf.soft_sdf_field on TPU) remats
+    its adaptive fallback branch so lax.cond's residual UNION stays
+    small (the in-gamut iteration was zero-filling ~10x-input of untaken
+    memo buffers; measured 3.55 -> 2.92 ms at 4K). jax.checkpoint around
+    the Pallas custom-vjp pipeline must preserve gradients EXACTLY in
+    both cond regimes — this replicates the gate's structure with
+    interpret kernels (the gate itself only activates on tpu/axon)."""
+    import numpy as np
+    from chaq_sdfgen_tpu.ops import pallas_soft_fused, pallas_soft_mm as PM
+
+    band, tau_f, t_f, eps_f = 16, 2.0, 1.0, 1e-6
+    rng = np.random.default_rng(33)
+    cases = {
+        "in-gamut": (rng.random((128, 128)) * 255).astype(np.float32),
+        "out-of-gamut": (rng.random((128, 128)) * 4000 - 2000).astype(np.float32),
+    }
+
+    def gated(g, remat):
+        labs = jnp.max(jnp.abs(g - 127.5)) / jnp.float32(tau_f)
+        h_max = jnp.float32(t_f) * jax.nn.softplus(labs)
+        pred = h_max <= jnp.float32(140.0)
+        shift = jax.lax.stop_gradient(
+            jnp.maximum(h_max - jnp.float32(60.0 * t_f), 0.0)
+        )
+        rt = lambda x: PM.soft_field_mm_rt(
+            x, shift, band, tau_f, t_f, eps_f, True, interpret=True
+        )
+        ad = lambda x: pallas_soft_fused.soft_sdf_field_fused(
+            x, band, tau_f, t_f, eps_f, True, interpret=True
+        )
+        if remat:
+            ad = jax.checkpoint(ad)
+        return jax.lax.cond(pred, rt, ad, g)
+
+    for tag, arr in cases.items():
+        g = jnp.asarray(arr)
+        g1 = jax.grad(lambda x: jnp.sum(gated(x, False)))(g)
+        g2 = jax.grad(lambda x: jnp.sum(gated(x, True)))(g)
+        assert bool(jnp.all(g1 == g2)), tag

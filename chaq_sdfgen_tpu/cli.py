@@ -5,9 +5,9 @@ Short flags mirror chaq_sdfgen (openmp/sdfgen.c:32-49): -i/-o/-s/-q/-f,
 standard short-option clustering). Long options mirror
 chaq_sdfgen_opencl (opencl/main.cpp:362-444): --list-devices,
 --log-level, --time, plus TPU-native extensions: --algorithm (exact/
-brute/jfa), --soft / --soft-tau / --soft-temperature / --soft-field
-(differentiable pipeline), --shard-y / --shard-x / --halo-impl
-(ShardingConfig device-mesh runs).
+brute/jfa), --soft / --soft-tau / --soft-temperature / --soft-field /
+--soft-prec (differentiable pipeline), --shard-y / --shard-x /
+--halo-impl (ShardingConfig device-mesh runs).
 
 Usage:  python -m chaq_sdfgen_tpu -i in.png -o out.png -s 100 -al
 """
@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--soft-field", default=None, metavar="FILE.npy",
                    help="with --soft: also save the raw float32 signed "
                         "field as .npy")
+    p.add_argument("--soft-prec", default="highest",
+                   choices=("highest", "high"),
+                   help="fused-mm matmul precision: 'highest' (6-pass "
+                        "f32, the default) or 'high' (bf16 hi/lo 3-pass "
+                        "decomposition, ~-24%% device time, ~8e-4 "
+                        "forward error — throughput-first atlas sweeps)")
     p.add_argument("--gray-range", nargs=2, type=float, default=(0.0, 255.0),
                    metavar=("LO", "HI"),
                    help="declared input-value bound for the soft path "
@@ -231,6 +237,18 @@ def main(argv: Optional[list] = None) -> int:
     )
     soft_cfg = None
     if args.soft:
+        # pallas_soft_mm reads the env at import; in a fresh CLI process
+        # the env alone suffices (the module imports lazily below). If
+        # the module is already live (library use, tests), flip its flag
+        # and drop jit caches so retraces pick the new dot decomposition.
+        import os as _os
+
+        _os.environ["CHAQ_SOFT_MXU_PREC"] = args.soft_prec
+        _pm = sys.modules.get("chaq_sdfgen_tpu.ops.pallas_soft_mm")
+        want_high = args.soft_prec == "high"
+        if _pm is not None and _pm._PREC_HIGH != want_high:
+            _pm._PREC_HIGH = want_high
+            jax.clear_caches()
         soft_cfg = SoftConfig(
             tau=args.soft_tau,
             temperature=args.soft_temperature,

@@ -218,3 +218,31 @@ def test_cli_sharded_run_matches_unsharded(tmp_path):
     got = np.asarray(Image.open(out_s))
     want = np.asarray(Image.open(GOLDEN))
     np.testing.assert_array_equal(got, want)
+
+
+def test_cli_soft_prec_high(tmp_path):
+    """--soft-prec high (the bf16 3-pass fused-mm opt-in) is flag-
+    reachable and tracks the default 6-pass output to a couple of byte
+    levels; the flag must also restore cleanly (in-process calls flip
+    the live module flag and drop jit caches)."""
+    from PIL import Image as PILImage
+
+    img = np.zeros((64, 64), np.uint8)
+    img[20:44, 20:44] = 255
+    inp = tmp_path / "in.png"
+    PILImage.fromarray(img).save(inp)
+    out_hi = tmp_path / "hi.png"
+    out_3p = tmp_path / "3p.png"
+    assert main(["-i", str(inp), "-o", str(out_hi), "-s", "12", "-l",
+                 "--soft"]) == 0
+    assert main(["-i", str(inp), "-o", str(out_3p), "-s", "12", "-l",
+                 "--soft", "--soft-prec", "high"]) == 0
+    # restore the default for subsequent in-process tests
+    assert main(["-i", str(inp), "-o", str(out_hi), "-s", "12", "-l",
+                 "--soft"]) == 0
+    hi = np.asarray(Image.open(out_hi)).astype(int)
+    p3 = np.asarray(Image.open(out_3p)).astype(int)
+    assert np.abs(hi - p3).max() <= 2
+    from chaq_sdfgen_tpu.ops import pallas_soft_mm as PM
+
+    assert PM._PREC_HIGH is False

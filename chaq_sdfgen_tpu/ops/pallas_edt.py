@@ -106,10 +106,16 @@ def _sweep_scratch(dscr, w_rows):
     jax.lax.fori_loop(0, nblk, up_body, carry0)
 
 
+_P1CHUNK = 512  # pass-1 in-kernel transpose chunk width (cols per step).
+# Swept on-chip r5 (interleaved slope, 4K): 512 optimal — 256 is +11%
+# (0.79 vs 0.71 ms), 1024 +2% and noisier. Not the transposes' cost
+# driver; pass 1 sits ~1.4x its op-count floor (NOTES round-5).
+
+
 def _row_pass_body(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band, h_mask=None,
                    out_dtype=jnp.uint8, sat=None):
     """Pass 1 with the transposes fused in: one program per TM-row block
-    of the NATURAL-layout image. The block is transposed in VMEM (512-col
+    of the NATURAL-layout image. The block is transposed in VMEM (_P1CHUNK-col
     chunks), both polarity fields sweep along sublanes in one scratch, and
     the clipped u8 distances are transposed back on write — replacing the
     three XLA u8 transposes of the standalone path with in-kernel ones.
@@ -123,8 +129,8 @@ def _row_pass_body(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band, h_mask
     satv = (255 if out_dtype == jnp.uint8 else 65535) if sat is None else sat
     clipv = jnp.int32(min(band + 1, satv) if sat is None else sat)
 
-    for c in range(0, wp, 512):
-        cc = min(512, wp - c)
+    for c in range(0, wp, _P1CHUNK):
+        cc = min(_P1CHUNK, wp - c)
         # transpose the u8 block FIRST, then widen: measured ~1 ms/4K
         # cheaper than widening to i32 before the transpose (packed u8
         # transposes shuffle 4x fewer vregs)
@@ -153,8 +159,8 @@ def _row_pass_body(b_ref, din_ref, dout_ref, dscr, *, wp, w_actual, band, h_mask
 
     _sweep_scratch(dscr, wp)
 
-    for c in range(0, wp, 512):
-        cc = min(512, wp - c)
+    for c in range(0, wp, _P1CHUNK):
+        cc = min(_P1CHUNK, wp - c)
         d = jnp.minimum(dscr[c : c + cc, :], clipv)
         din_ref[:, c : c + cc] = d[:, 0:tm].T.astype(out_dtype)
         dout_ref[:, c : c + cc] = d[:, tm : 2 * tm].T.astype(out_dtype)
